@@ -1,0 +1,88 @@
+"""Benchmark: predprey KAN-FET NODE training throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "epochs/sec", "vs_baseline": N}
+
+value        = full training epochs/sec (dopri5 solve + backprop + Adam,
+               the north-star config: KANFET[2,10,2] grid 5, rtol 1e-7,
+               atol 1e-9, 35-point trajectory fit — BASELINE.md).
+vs_baseline  = speedup over the faithful PyTorch-CPU reference loop
+               (benchmarks/reference_cpu.py; sec/epoch recorded in
+               benchmarks/baseline_cpu.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from fetode_tpu.models.predprey import (
+        PredPreyNODE,
+        PredPreyTask,
+        generate_data,
+        predprey_init,
+        trajectory_loss,
+    )
+    from fetode_tpu.train.loop import init_state, make_epoch_scanner
+    from fetode_tpu.train.optim import make_optimizer
+
+    task = PredPreyTask()
+    spec = PredPreyNODE.kanfet(max_steps=256)  # north-star flagship config
+    ts, ts_learn, truth = generate_data(task)
+    target = truth[: task.n_train]
+    x0 = jnp.asarray([task.x0, task.y0], jnp.float32)
+
+    params = predprey_init(jax.random.PRNGKey(0), spec)
+    tx = make_optimizer(2e-3, kind="adam", params=params)
+    state = init_state(params, tx)
+
+    def loss_fn(p, x0_, ts_, tgt):
+        return trajectory_loss(p, spec, x0_, ts_, tgt)
+
+    epochs_per_call = 50
+    scanner = make_epoch_scanner(loss_fn, tx, epochs_per_call)
+
+    # Warm up / compile.  NOTE: block on a host transfer, not just
+    # block_until_ready — the axon tunnel reports readiness early.
+    state, losses = scanner(state, x0, ts_learn, target)
+    float(jax.device_get(losses)[-1])
+
+    # Timed region.
+    n_calls = 4
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        state, losses = scanner(state, x0, ts_learn, target)
+    final_loss = float(jax.device_get(losses)[-1])
+    wall = time.perf_counter() - t0
+    epochs_per_sec = n_calls * epochs_per_call / wall
+
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "baseline_cpu.json")
+    baseline_sec_per_epoch = None
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            baseline_sec_per_epoch = json.load(fh)["sec_per_epoch"]
+
+    result = {
+        "metric": "predprey KANFET-NODE training throughput (dopri5 rtol1e-7, full epoch incl. grad+Adam)",
+        "value": round(epochs_per_sec, 3),
+        "unit": "epochs/sec",
+        "vs_baseline": (round(epochs_per_sec * baseline_sec_per_epoch, 2)
+                        if baseline_sec_per_epoch else None),
+        "extra": {
+            "final_train_loss": final_loss,
+            "baseline_cpu_sec_per_epoch": baseline_sec_per_epoch,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -76,10 +76,17 @@ class FerroConfig(NamedTuple):
     update_branch: bool = True
 
 
-def ferro_init(key, cfg: FerroConfig, dtype=jnp.float32) -> FerroParams:
+def ferro_init(key, cfg: FerroConfig, dtype=jnp.float32,
+               coef_scale: float = 1.0) -> FerroParams:
     """Initialise device parameters in the physical ranges the reference
     uses (``ferro_class.py:358-362``): k, Ec ~ U[0.5, 2.5], Ps ~ U[0.5, 2.0],
-    bias ~ 0.1*N(0,1), coef ~ N(0,1)."""
+    bias ~ 0.1*N(0,1), coef ~ coef_scale*N(0,1).
+
+    ``coef_scale < 1`` keeps the branch's initial output contribution small
+    — important when the basis is an additive branch inside a KAN layer
+    that feeds an ODE vector field (a large random field blows up the
+    trajectory before learning starts).
+    """
     kk, ke, kp, kb, kc = jax.random.split(key, 5)
     shape = (cfg.in_dim, cfg.out_dim, cfg.num_basis)
     return FerroParams(
@@ -87,7 +94,7 @@ def ferro_init(key, cfg: FerroConfig, dtype=jnp.float32) -> FerroParams:
         ec=jax.random.uniform(ke, shape, dtype, 0.5, 2.5),
         ps=jax.random.uniform(kp, shape, dtype, 0.5, 2.0),
         bias=jax.random.normal(kb, shape, dtype) * 0.1,
-        coef=jax.random.normal(kc, shape, dtype),
+        coef=jax.random.normal(kc, shape, dtype) * coef_scale,
     )
 
 

@@ -1,0 +1,10 @@
+"""Device-mesh construction and sharding rules (TPU scaling layer)."""
+
+from fetode_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    kan_param_specs,
+    kan_stack_param_specs,
+    make_mesh,
+    replicated,
+    shard_params,
+)

@@ -1,0 +1,100 @@
+"""Device mesh construction and sharding rules.
+
+The reference is single-process/single-device (SURVEY.md §2.5); this module
+is the TPU-native scaling layer it lacks: a named mesh over ICI (with an
+optional DCN axis for multi-slice), batch/trajectory sharding over the
+``data`` axis, and tensor sharding of KAN layer weights over the ``model``
+axis.  Collectives (psum of the per-feature contraction partials,
+all-gathers of replicated activations) are inserted by GSPMD from the
+shardings — there is no hand-written communication code to maintain.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    *,
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh.
+
+    Defaults to all visible devices on the data axis (pure DP).  ``model``
+    splits off a tensor-parallel axis; ``data`` is inferred as
+    ``n_devices // model`` when not given.
+    """
+    if devices is None:
+        devices = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devices)
+    if data is None:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"data*model = {data * model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch / trajectory) axis over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def kan_param_specs(params_layer: dict) -> dict:
+    """PartitionSpec tree for one KAN layer: shard output features over
+    the ``model`` axis, replicate everything small.
+
+    base_weight (out, in)      -> ('model', None)
+    spline_weight (out, in, C) -> ('model', None, None)
+    spline_scaler (out, in)    -> ('model', None)
+    logistic.weight (out, inK) -> ('model', None)
+    ferro.* (in, out, K)       -> (None, 'model', None)
+    grid (in, knots)           -> replicated
+    """
+    specs: dict = {}
+    for name, leaf in params_layer.items():
+        if name == "_buffers":
+            specs[name] = {k: P() for k in leaf}
+        elif name in ("base_weight", "spline_scaler"):
+            specs[name] = P("model", None)
+        elif name == "spline_weight":
+            specs[name] = P("model", None, None)
+        elif name == "logistic":
+            specs[name] = {
+                k: (P("model", None) if k == "weight"
+                    else P("model") if k == "scaler" else P())
+                for k in leaf
+            }
+        elif name == "ferro":
+            specs[name] = {k: P(None, "model", None) for k in leaf}
+        else:
+            specs[name] = jax.tree_util.tree_map(lambda _: P(), leaf)
+    return specs
+
+
+def kan_stack_param_specs(params: list) -> list:
+    return [kan_param_specs(layer) for layer in params]
+
+
+def shard_params(params, mesh: Mesh, specs=None):
+    """Place a parameter pytree on the mesh (replicated by default)."""
+    if specs is None:
+        specs = jax.tree_util.tree_map(lambda _: P(), params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )

@@ -1,0 +1,78 @@
+"""Generic jitted training-step and epoch-scan builders.
+
+The reference's epoch loops are Python ``for`` loops dispatching one torch
+graph per epoch; here a whole block of epochs is one ``lax.scan`` inside
+one jit — a single device dispatch executes hundreds of full
+solve+grad+update epochs (the main wall-clock win on TPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def init_state(params, tx) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(loss_fn: Callable, tx) -> Callable:
+    """``loss_fn(params, *batch) -> scalar`` (or ``(scalar, aux)``).
+
+    Returns a pure step ``(state, *batch) -> (state, loss[, aux])``.
+    """
+    def step(state: TrainState, *batch):
+        out = jax.value_and_grad(loss_fn, has_aux=False)(state.params, *batch)
+        loss, grads = out
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+def make_epoch_scanner(loss_fn: Callable, tx, n_epochs_per_call: int) -> Callable:
+    """Jit one function that runs ``n_epochs_per_call`` full-batch epochs.
+
+    Use for full-batch workloads (predprey): one dispatch, many epochs.
+    Returns ``fn(state, *batch) -> (state, losses[n])``.
+    """
+    step = make_train_step(loss_fn, tx)
+
+    @jax.jit
+    def run(state: TrainState, *batch):
+        def body(s, _):
+            s, loss = step(s, *batch)
+            return s, loss
+        return jax.lax.scan(body, state, None, length=n_epochs_per_call)
+
+    return run
+
+
+def make_minibatch_epoch(loss_fn: Callable, tx) -> Callable:
+    """Jit one function that scans a pre-batched epoch of minibatches.
+
+    ``fn(state, batches) -> (state, losses)`` where every leaf of
+    ``batches`` has leading axis (n_batches, batch_size, ...).
+    """
+    step = make_train_step(loss_fn, tx)
+
+    @jax.jit
+    def run(state: TrainState, batches):
+        def body(s, batch):
+            s, loss = step(s, *batch)
+            return s, loss
+        return jax.lax.scan(body, state, batches)
+
+    return run
