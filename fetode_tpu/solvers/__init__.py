@@ -47,3 +47,8 @@ def odeint(
         return odeint_fixed(func, y0, ts, *args, method=method, **options)
     raise ValueError(f"unknown method {method!r}; "
                      f"choose from {ADAPTIVE_METHODS + FIXED_METHODS}")
+
+from fetode_tpu.solvers.stateful import (  # noqa: F401
+    integrate_final_stateful,
+    odeint_fixed_stateful,
+)
