@@ -1,0 +1,360 @@
+"""ECG200 classification models: digital baseline, FEPA-RNN, and the
+KAN-FET neural-ODE classifiers (logistic- and ferro-basis families).
+
+Capability parity (every model here is fully batched — the reference's
+per-sample ODE loops, forced by stateful module buffers, become vmapped
+solves; SURVEY.md §7.2-5):
+
+| reference model                              | here                      |
+|----------------------------------------------|---------------------------|
+| Digital_RNN (train_ecg.py:71-113)            | nn.digital_rnn            |
+| FullyNonlinearKANRNN ferro ("FEPA-RNN",      | nn.ferro_kan_rnn          |
+|   train_ecg.py:237-256)                      |                           |
+| KanFet_NODE (train_ecg_kan_fet_nn_ode.py:    | KanFetNODE (field='plain')|
+|   512-572, No_MLP_KANODEFunc :483-508)       |                           |
+| MLPKANODEFunc variant (:423-481)             | KanFetNODE (field='mlp')  |
+| KanFet_MLP_NODE ferro (train_ecg.py:         | KanFetMLPNODE             |
+|   986-1059, KANFetODEFunc stability armor)   |                           |
+| KanFet_MLP_Euler_Rollout                     | KanFetMLPNODE             |
+|   (train_ecg_kan_fet_nn_ode.py:670-758)      |   (method='euler'/rk2/rk4,|
+|                                              |    final-state integrate) |
+| OneODEEncoder / NODE_RNN (input-driven,      | NodeRNN                   |
+|   train_noisy_ecg.py:345-471)                |                           |
+| ODEIntegratedRNNEncoder (train_ecg.py:       | OdeRnnEncoder             |
+|   464-530)                                   |                           |
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from fetode_tpu.nn.kan import KANConfig, kan_apply, kan_init
+from fetode_tpu.nn.rnn import (
+    FerroKANCellConfig,
+    LogisticKANCellConfig,
+    ferro_kan_cell_apply,
+    ferro_kan_cell_init,
+    ferro_kan_cell_state,
+    logistic_kan_cell_apply,
+    logistic_kan_cell_init,
+)
+from fetode_tpu.ops.ferro import FerroConfig, FerroParams, ferro_apply, ferro_init, ferro_state_init
+from fetode_tpu.ops.interp import linear_interp
+from fetode_tpu.ops.logistic import LogisticParams, logistic_basis, logistic_init
+from fetode_tpu.solvers import integrate_final, odeint_dopri5, odeint_fixed
+from fetode_tpu.utils.init import kaiming_uniform
+
+
+# ---------------------------------------------------------- feature mixer
+
+
+def mixer_init(key, dim: int, num_basis: int, dtype=jnp.float32):
+    """KANFeatureMixer: x -> sigmoid(logistic basis) flattened (B, D*K)
+    (train_ecg_kan_fet_nn_ode.py:408-420)."""
+    return logistic_init(key, dim, num_basis, dtype=dtype)._asdict()
+
+
+def mixer_apply(params, x):
+    phi = jax.nn.sigmoid(logistic_basis(LogisticParams(**params), x))
+    return phi.reshape(*x.shape[:-1], -1)
+
+
+# -------------------------------------------------------- KanFet NODE (logistic)
+
+
+class KanFetNODESpec(NamedTuple):
+    T: int = 96
+    num_classes: int = 2
+    latent_dim: int = 64
+    num_basis: int = 10
+    ode_hidden: int = 128
+    field: str = "plain"        # 'plain' = No_MLP_KANODEFunc; 'mlp' = MLPKANODEFunc
+    solver: str = "dopri5"
+    rtol: float = 1e-2
+    atol: float = 1e-3
+    max_steps: int = 64
+    h_bound: float = 1.0
+    init_out_std: float = 1e-3
+    solver_mode: str = "scan"
+
+    @property
+    def kan_cfg(self) -> KANConfig:
+        return KANConfig.make([self.latent_dim * self.num_basis,
+                               self.ode_hidden, self.ode_hidden])
+
+
+def kanfet_node_init(key, spec: KanFetNODESpec, dtype=jnp.float32):
+    ke, kf, kp, kc, km, kk, ka = jax.random.split(key, 7)
+    params = {
+        "encoder_w": kaiming_uniform(ke, (spec.latent_dim, spec.T), dtype=dtype),
+        "encoder_b": jnp.zeros((spec.latent_dim,), dtype),
+        "field_mixer": mixer_init(kf, spec.latent_dim, spec.num_basis, dtype),
+        "cls_mixer": mixer_init(km, spec.latent_dim, spec.num_basis, dtype),
+        "cls_w": kaiming_uniform(kc, (spec.num_classes,
+                                      spec.latent_dim * spec.num_basis),
+                                 dtype=dtype),
+        "cls_b": jnp.zeros((spec.num_classes,), dtype),
+    }
+    if spec.field == "plain":
+        # small-init projection (B, D*K) -> (B, D)
+        params["proj_w"] = jax.random.normal(
+            kp, (spec.latent_dim, spec.latent_dim * spec.num_basis), dtype) * 0.01
+        params["proj_b"] = jnp.zeros((spec.latent_dim,), dtype)
+    else:
+        params["ln_scale"] = jnp.ones((spec.latent_dim,), dtype)
+        params["ln_bias"] = jnp.zeros((spec.latent_dim,), dtype)
+        params["kan"] = kan_init(kk, spec.kan_cfg, dtype)
+        params["out_w"] = jax.random.normal(
+            kp, (spec.latent_dim, spec.ode_hidden), dtype) * spec.init_out_std
+        params["out_b"] = jnp.zeros((spec.latent_dim,), dtype)
+        params["log_alpha"] = jnp.asarray(-3.0, dtype)
+        params["scale"] = jnp.asarray(1.0, dtype)
+    return params
+
+
+def _layer_norm(x, scale, bias, eps=1e-5):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def kanfet_node_field(params, spec: KanFetNODESpec, t, h):
+    if spec.field == "plain":
+        phi = mixer_apply(params["field_mixer"], h)
+        return phi @ params["proj_w"].T + params["proj_b"]
+    h = _layer_norm(h, params["ln_scale"], params["ln_bias"])
+    h = spec.h_bound * jnp.tanh(h / spec.h_bound)
+    phi = mixer_apply(params["field_mixer"], h)
+    z, _ = kan_apply(params["kan"], spec.kan_cfg, phi)
+    z = jax.nn.silu(z)
+    dh = z @ params["out_w"].T + params["out_b"]
+    return params["scale"] * jax.nn.softplus(params["log_alpha"]) * dh
+
+
+def kanfet_node_apply(params, spec: KanFetNODESpec, x):
+    """x (B, T) -> logits (B, num_classes); latent NODE over [0, 1]."""
+    h0 = x @ params["encoder_w"].T + params["encoder_b"]
+    ts = jnp.asarray([0.0, 1.0], x.dtype)
+
+    def rhs(t, h):
+        return kanfet_node_field(params, spec, t, h)
+
+    if spec.solver == "dopri5":
+        traj = odeint_dopri5(rhs, h0, ts, rtol=spec.rtol, atol=spec.atol,
+                             max_steps=spec.max_steps, mode=spec.solver_mode)
+        hT = jax.tree_util.tree_map(lambda a: a[-1], traj)
+    else:
+        hT = integrate_final(rhs, h0, 0.0, 1.0, method=spec.solver, n_steps=8)
+
+    feat = mixer_apply(params["cls_mixer"], hT)
+    return feat @ params["cls_w"].T + params["cls_b"]
+
+
+# ------------------------------------------------- KanFet MLP NODE (ferro)
+
+
+class KanFetMLPNODESpec(NamedTuple):
+    T: int = 96
+    num_classes: int = 2
+    latent_dim: int = 64
+    num_basis: int = 10
+    ode_hidden: int = 128
+    solver: str = "dopri5"      # or euler/rk2/rk4 -> final-state rollout
+    rtol: float = 1e-2
+    atol: float = 1e-3
+    max_steps: int = 64
+    n_steps: int = 8            # fixed-step count for rollout variants
+    h_bound: float = 1.0
+    dh_clip: float = 50.0
+    noise_std: float = 0.0      # >0: NoisyFerroelectricBasis semantics
+    solver_mode: str = "scan"
+
+    @property
+    def fc1_cfg(self):
+        return FerroConfig(self.latent_dim, self.ode_hidden, self.num_basis,
+                           noise_std=self.noise_std)
+
+    @property
+    def fc2_cfg(self):
+        return FerroConfig(self.ode_hidden, self.latent_dim, self.num_basis,
+                           noise_std=self.noise_std)
+
+
+def kanfet_mlp_node_init(key, spec: KanFetMLPNODESpec, dtype=jnp.float32):
+    ke, k1, k2, kc = jax.random.split(key, 4)
+    return {
+        "encoder_w": kaiming_uniform(ke, (spec.latent_dim, spec.T), dtype=dtype),
+        "encoder_b": jnp.zeros((spec.latent_dim,), dtype),
+        "fc1": ferro_init(k1, spec.fc1_cfg, dtype, coef_scale=0.1)._asdict(),
+        "fc2": ferro_init(k2, spec.fc2_cfg, dtype, coef_scale=0.1)._asdict(),
+        "cls_w": kaiming_uniform(kc, (spec.num_classes, spec.latent_dim),
+                                 dtype=dtype),
+        "cls_b": jnp.zeros((spec.num_classes,), dtype),
+    }
+
+
+def kanfet_mlp_node_field(params, spec: KanFetMLPNODESpec, t, h, states,
+                          noise_keys=None):
+    """Two-layer ferro field with the reference's stability armor
+    (train_ecg.py:1002-1011): latent tanh bound, non-finite scrub, slope
+    clamp.  Hysteresis state is frozen during the solve."""
+    s1, s2 = states
+    k1 = k2 = None
+    if noise_keys is not None:
+        k1, k2 = noise_keys
+    h = spec.h_bound * jnp.tanh(h / spec.h_bound)
+    z, _ = ferro_apply(FerroParams(**params["fc1"]), s1, h, spec.fc1_cfg,
+                       noise_key=k1)
+    z = jnp.tanh(z)
+    dh, _ = ferro_apply(FerroParams(**params["fc2"]), s2, z, spec.fc2_cfg,
+                        noise_key=k2)
+    dh = jnp.nan_to_num(dh, nan=0.0, posinf=1e3, neginf=-1e3)
+    return jnp.clip(dh, -spec.dh_clip, spec.dh_clip)
+
+
+def kanfet_mlp_node_apply(params, spec: KanFetMLPNODESpec, x, *,
+                          noise_key=None):
+    """x (B, T) -> logits. One batched solve (no per-sample loop)."""
+    B = x.shape[0]
+    h0 = x @ params["encoder_w"].T + params["encoder_b"]
+    states = (ferro_state_init((B,), spec.fc1_cfg, x.dtype),
+              ferro_state_init((B,), spec.fc2_cfg, x.dtype))
+    nkeys = jax.random.split(noise_key) if noise_key is not None else None
+
+    def rhs(t, h):
+        return kanfet_mlp_node_field(params, spec, t, h, states, nkeys)
+
+    if spec.solver == "dopri5":
+        ts = jnp.asarray([0.0, 1.0], x.dtype)
+        traj = odeint_dopri5(rhs, h0, ts, rtol=spec.rtol, atol=spec.atol,
+                             max_steps=spec.max_steps, mode=spec.solver_mode)
+        hT = traj[-1]
+    else:
+        hT = integrate_final(rhs, h0, 0.0, 1.0, method=spec.solver,
+                             n_steps=spec.n_steps)
+    return hT @ params["cls_w"].T + params["cls_b"]
+
+
+# --------------------------------------------- input-driven NODE encoders
+
+
+class NodeRNNSpec(NamedTuple):
+    """OneODEEncoder + KAN cell + linear head (NODE_RNN,
+    train_noisy_ecg.py:345-471).  dh/dt = tanh(ferro([h, x(t)]))*gain+bias."""
+
+    input_size: int = 1
+    hidden_size: int = 64
+    num_classes: int = 2
+    num_basis: int = 10
+    solver: str = "rk4"
+    n_steps: int = 96
+    noise_std: float = 0.0
+
+    @property
+    def basis_cfg(self):
+        return FerroConfig(self.hidden_size + self.input_size,
+                           self.hidden_size, self.num_basis,
+                           noise_std=self.noise_std)
+
+    @property
+    def cell_cfg(self):
+        return FerroKANCellConfig(self.hidden_size, self.hidden_size,
+                                  self.num_basis, noise_std=self.noise_std)
+
+
+def node_rnn_init(key, spec: NodeRNNSpec, dtype=jnp.float32):
+    kl, kb, kc, kh = jax.random.split(key, 4)
+    return {
+        "lift_w": kaiming_uniform(kl, (spec.hidden_size, spec.input_size),
+                                  dtype=dtype),
+        "lift_b": jnp.zeros((spec.hidden_size,), dtype),
+        "basis": ferro_init(kb, spec.basis_cfg, dtype, coef_scale=0.1)._asdict(),
+        "gain": jnp.ones((spec.hidden_size,), dtype),
+        "bias": jnp.zeros((spec.hidden_size,), dtype),
+        "cell": ferro_kan_cell_init(kc, spec.cell_cfg, dtype),
+        "head_w": kaiming_uniform(kh, (spec.num_classes, spec.hidden_size),
+                                  dtype=dtype),
+        "head_b": jnp.zeros((spec.num_classes,), dtype),
+    }
+
+
+def node_rnn_encode(params, spec: NodeRNNSpec, x_seq, *, noise_key=None):
+    """Single-sample encoder: x_seq (T, D) -> (H,).  Batched via vmap."""
+    T = x_seq.shape[0]
+    t_grid = jnp.linspace(0.0, 1.0, T, dtype=x_seq.dtype)
+    h0 = x_seq[0] @ params["lift_w"].T + params["lift_b"]
+    state = ferro_state_init((), spec.basis_cfg, x_seq.dtype)
+
+    def rhs(t, h):
+        x_t = linear_interp(t_grid, x_seq, t)
+        hx = jnp.concatenate([h, x_t], axis=-1)
+        phi, _ = ferro_apply(FerroParams(**params["basis"]), state, hx,
+                             spec.basis_cfg, noise_key=noise_key)
+        return jnp.tanh(phi) * params["gain"] + params["bias"]
+
+    return integrate_final(rhs, h0, 0.0, 1.0, method=spec.solver,
+                           n_steps=spec.n_steps)
+
+
+def node_rnn_apply(params, spec: NodeRNNSpec, x, *, noise_key=None):
+    """(B, T) or (B, T, D) -> logits; the reference's per-sample loop is a
+    vmap over the encoder, then one KAN-cell refinement + head."""
+    if x.ndim == 2:
+        x = x[..., None]
+    B = x.shape[0]
+    hT = jax.vmap(lambda xb: node_rnn_encode(params, spec, xb,
+                                             noise_key=noise_key))(x)
+    h = jnp.zeros((B, spec.hidden_size), x.dtype)
+    cstate = ferro_kan_cell_state((B,), spec.cell_cfg, x.dtype)
+    h1, _ = ferro_kan_cell_apply(params["cell"], spec.cell_cfg, hT, h, cstate)
+    return h1 @ params["head_w"].T + params["head_b"]
+
+
+class OdeRnnEncoderSpec(NamedTuple):
+    """ODE-integrated RNN encoder: dh/dt = alpha*(cell(lift(x(t)), h) - h)
+    (train_ecg.py:464-530)."""
+
+    input_size: int = 1
+    hidden_size: int = 64
+    num_basis: int = 10
+    alpha: float = 10.0
+    solver: str = "rk4"
+    n_steps: int = 96
+
+    @property
+    def cell_cfg(self):
+        return LogisticKANCellConfig(self.hidden_size, self.hidden_size,
+                                     self.num_basis)
+
+
+def ode_rnn_encoder_init(key, spec: OdeRnnEncoderSpec, dtype=jnp.float32):
+    kl, kc, k0 = jax.random.split(key, 3)
+    return {
+        "lift_w": kaiming_uniform(kl, (spec.hidden_size, spec.input_size),
+                                  dtype=dtype),
+        "lift_b": jnp.zeros((spec.hidden_size,), dtype),
+        "h0_w": kaiming_uniform(k0, (spec.hidden_size, spec.input_size),
+                                dtype=dtype),
+        "h0_b": jnp.zeros((spec.hidden_size,), dtype),
+        "cell": logistic_kan_cell_init(kc, spec.cell_cfg, dtype),
+    }
+
+
+def ode_rnn_encode(params, spec: OdeRnnEncoderSpec, x_seq):
+    """x_seq (T, D) -> (H,): relaxation toward the cell's discrete update."""
+    T = x_seq.shape[0]
+    t_grid = jnp.linspace(0.0, 1.0, T, dtype=x_seq.dtype)
+    h0 = x_seq[0] @ params["h0_w"].T + params["h0_b"]
+
+    def rhs(t, h):
+        x_t = linear_interp(t_grid, x_seq, t)
+        z_t = x_t @ params["lift_w"].T + params["lift_b"]
+        h_next = logistic_kan_cell_apply(params["cell"], spec.cell_cfg,
+                                         z_t[None], h[None])[0]
+        return spec.alpha * (h_next - h)
+
+    return integrate_final(rhs, h0, 0.0, 1.0, method=spec.solver,
+                           n_steps=spec.n_steps)

@@ -83,8 +83,9 @@ def _dense_coeffs(y0, y1, ks, dt):
     """Hairer CONTD5 coefficients for the 4th-order continuous extension."""
     dy = jax.tree_util.tree_map(jnp.subtract, y1, y0)
     f0, f1 = ks[0], ks[6]
-    r3 = jax.tree_util.tree_map(lambda a, b: dt * a - b, f0, dy)
-    r4 = jax.tree_util.tree_map(lambda d, b, r: d - dt * b - r, dy, f1, r3)
+    r3 = jax.tree_util.tree_map(lambda a, b: dt.astype(a.dtype) * a - b, f0, dy)
+    r4 = jax.tree_util.tree_map(lambda d, b, r: d - dt.astype(b.dtype) * b - r,
+                                dy, f1, r3)
     r5 = tree_scale(dt, _combo(DOPRI5_DENSE_D, ks))
     return dy, r3, r4, r5
 
@@ -103,8 +104,8 @@ def _dense_eval(y0, dy, r3, r4, r5, theta):
     th1 = 1.0 - theta
 
     def leaf(y0l, dyl, r3l, r4l, r5l):
-        th = theta.reshape(theta.shape + (1,) * y0l.ndim)
-        t1 = th1.reshape(th1.shape + (1,) * y0l.ndim)
+        th = theta.reshape(theta.shape + (1,) * y0l.ndim).astype(y0l.dtype)
+        t1 = th1.reshape(th1.shape + (1,) * y0l.ndim).astype(y0l.dtype)
         return y0l + th * (dyl + t1 * (r3l + th * (r4l + t1 * r5l)))
 
     return jax.tree_util.tree_map(leaf, y0, dy, r3, r4, r5)

@@ -12,17 +12,25 @@ from fetode_tpu.solvers.tableaux import ButcherTableau
 PyTree = Any
 
 
+def _cast(a, leaf):
+    """Cast a scalar to the leaf's dtype (prevents silent f32->f64 promotion
+    of the carried state when time arrays are wider than the state)."""
+    if isinstance(a, (int, float)):
+        return a
+    return a.astype(leaf.dtype)
+
+
 def tree_add(x: PyTree, y: PyTree) -> PyTree:
     return jax.tree_util.tree_map(jnp.add, x, y)
 
 
 def tree_scale(a, x: PyTree) -> PyTree:
-    return jax.tree_util.tree_map(lambda v: a * v, x)
+    return jax.tree_util.tree_map(lambda v: _cast(a, v) * v, x)
 
 
 def tree_axpy(a, x: PyTree, y: PyTree) -> PyTree:
     """y + a * x (a is a scalar)."""
-    return jax.tree_util.tree_map(lambda xv, yv: yv + a * xv, x, y)
+    return jax.tree_util.tree_map(lambda xv, yv: yv + _cast(a, yv) * xv, x, y)
 
 
 def tree_where(pred, x: PyTree, y: PyTree) -> PyTree:

@@ -95,8 +95,9 @@ def integrate_final_stateful(
 ):
     """Final state only; memory O(state) regardless of step count."""
     tableau = FIXED_TABLEAUX[method]
-    t0 = jnp.asarray(t0, dtype=jnp.result_type(t0, t1, float))
-    dt = (jnp.asarray(t1, t0.dtype) - t0) / n_steps
+    tdtype = jax.tree_util.tree_leaves(y0)[0].dtype
+    t0 = jnp.asarray(t0, tdtype)
+    dt = (jnp.asarray(t1, tdtype) - t0) / n_steps
 
     def step(carry, i):
         y, s = carry

@@ -36,12 +36,14 @@ def _tab(a, b, c, order, b_err=None):
     a_full = np.zeros((s, s))
     for i, row in enumerate(a):
         a_full[i, : len(row)] = row
+    # Plain python floats only: np.float64 scalars are STRONG f64 types to
+    # JAX and would silently promote float32 carried state.
     return ButcherTableau(
-        a=tuple(tuple(r) for r in a_full),
-        b=tuple(b),
-        c=tuple(c),
+        a=tuple(tuple(float(v) for v in r) for r in a_full),
+        b=tuple(float(v) for v in b),
+        c=tuple(float(v) for v in c),
         order=order,
-        b_err=tuple(b_err) if b_err is not None else None,
+        b_err=tuple(float(v) for v in b_err) if b_err is not None else None,
     )
 
 

@@ -1,0 +1,124 @@
+"""ECG200 training drivers: per-model trainers + clean-vs-noisy comparison.
+
+Capability parity with the trainer functions of ``train_ecg.py`` /
+``train_ecg_kan_fet_nn_ode.py`` (AdamW, CE loss, grad clip 1.0, accuracy
+eval, best-state tracking) and the noise-robustness comparison harness of
+``compare_noise_ecg.py`` (same model trained with noise_std 0 vs >0,
+accuracy curves side by side).
+
+TPU-native: a whole epoch of minibatches is one jitted scan; evaluation is
+one jitted batched forward.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fetode_tpu.data.ecg200 import batch_iterator
+from fetode_tpu.train.loop import init_state, make_minibatch_epoch
+from fetode_tpu.train.optim import make_optimizer
+
+
+@dataclass
+class ECGRun:
+    epochs: int = 100
+    batch_size: int = 8
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    grad_clip: float = 1.0
+    seed: int = 0
+    log_every: int = 10
+
+
+def cross_entropy(logits, labels):
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def accuracy(logits, labels):
+    return (jnp.argmax(logits, -1) == labels).mean()
+
+
+def train_ecg_model(
+    init_fn: Callable,
+    apply_fn: Callable,
+    data,
+    run: ECGRun = ECGRun(),
+    log=print,
+):
+    """Generic ECG trainer.
+
+    init_fn(key) -> params; apply_fn(params, x) -> logits.
+    data = (x_train, y_train, x_test, y_test) numpy arrays.
+    Returns (best_params, history).
+    """
+    x_train, y_train, x_test, y_test = data
+    key = jax.random.PRNGKey(run.seed)
+    params = init_fn(key)
+    tx = make_optimizer(run.lr, kind="adamw", weight_decay=run.weight_decay,
+                        grad_clip=run.grad_clip, params=params)
+    state = init_state(params, tx)
+
+    def loss_fn(p, xb, yb):
+        return cross_entropy(apply_fn(p, xb), yb)
+
+    epoch_fn = make_minibatch_epoch(loss_fn, tx)
+
+    @jax.jit
+    def eval_acc(p, x, y):
+        return accuracy(apply_fn(p, x), y)
+
+    x_test_j = jnp.asarray(x_test)
+    y_test_j = jnp.asarray(y_test)
+    x_train_j = jnp.asarray(x_train)
+    y_train_j = jnp.asarray(y_train)
+
+    history = {"loss": [], "train_acc": [], "test_acc": []}
+    best = (-1.0, state.params)
+    t0 = time.perf_counter()
+    for ep in range(run.epochs):
+        bx, by = batch_iterator(x_train, y_train, run.batch_size,
+                                seed=run.seed + ep)
+        state, losses = epoch_fn(state, (jnp.asarray(bx), jnp.asarray(by)))
+        tr_acc = float(eval_acc(state.params, x_train_j, y_train_j))
+        te_acc = float(eval_acc(state.params, x_test_j, y_test_j))
+        history["loss"].append(float(losses.mean()))
+        history["train_acc"].append(tr_acc)
+        history["test_acc"].append(te_acc)
+        if te_acc > best[0]:
+            best = (te_acc, state.params)
+        if log is not None and (ep % run.log_every == 0 or ep == run.epochs - 1):
+            log(f"epoch {ep:3d} | loss {history['loss'][-1]:.4f} | "
+                f"train_acc {tr_acc*100:.1f}% | test_acc {te_acc*100:.1f}%")
+    history["wall_seconds"] = time.perf_counter() - t0
+    history["best_test_acc"] = best[0]
+    return best[1], history
+
+
+def compare_noise(
+    make_model: Callable,   # (noise_std) -> (init_fn, apply_fn)
+    data,
+    noise_stds=(0.0, 0.2),
+    run: ECGRun = ECGRun(),
+    log=print,
+):
+    """Train the same architecture at several device-noise levels and
+    report the accuracy trade-off (the compare_noise_ecg.py capability —
+    the analog-device fault-injection study, SURVEY.md §5.3)."""
+    results = {}
+    for std in noise_stds:
+        if log is not None:
+            log(f"--- noise_std = {std} ---")
+        init_fn, apply_fn = make_model(std)
+        _, hist = train_ecg_model(init_fn, apply_fn, data, run, log)
+        results[std] = hist
+    summary = {std: h["best_test_acc"] for std, h in results.items()}
+    if log is not None:
+        log(f"noise robustness summary (best test acc): {summary}")
+    return results

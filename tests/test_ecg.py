@@ -1,0 +1,156 @@
+"""ECG family tests: loader contract, every model's forward/grad, a short
+training run (accuracy must beat chance), noise comparison harness."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fetode_tpu.data.ecg200 import batch_iterator, load_ecg200, synthetic_ecg200
+from fetode_tpu.models.ecg import (
+    KanFetMLPNODESpec,
+    KanFetNODESpec,
+    NodeRNNSpec,
+    OdeRnnEncoderSpec,
+    kanfet_mlp_node_apply,
+    kanfet_mlp_node_init,
+    kanfet_node_apply,
+    kanfet_node_init,
+    node_rnn_apply,
+    node_rnn_init,
+    ode_rnn_encode,
+    ode_rnn_encoder_init,
+)
+from fetode_tpu.train.ecg_driver import ECGRun, compare_noise, train_ecg_model
+
+
+def test_synthetic_data_contract():
+    xtr, ytr, xte, yte = synthetic_ecg200()
+    assert xtr.shape == (64, 96) and xte.shape == (32, 96)
+    assert set(np.unique(ytr)) <= {0, 1}
+    np.testing.assert_allclose(xtr.mean(1), 0.0, atol=1e-5)
+    np.testing.assert_allclose(xtr.std(1), 1.0, atol=1e-2)
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference/data/ECG200_TRAIN.txt"),
+                    reason="real ECG200 files not available")
+def test_real_ecg200_loads():
+    xtr, ytr, xte, yte = load_ecg200()
+    assert xtr.shape[1] == 96
+    assert set(np.unique(np.concatenate([ytr, yte]))) == {0, 1}
+    assert len(xtr) == 100 and len(xte) == 100
+
+
+def test_batch_iterator_shapes():
+    xtr, ytr, *_ = synthetic_ecg200()
+    bx, by = batch_iterator(xtr, ytr, 8)
+    assert bx.shape == (8, 8, 96) and by.shape == (8, 8)
+
+
+def _small_data():
+    return synthetic_ecg200(n_train=32, n_test=16, T=24)
+
+
+def test_kanfet_node_forward_and_grad(key):
+    spec = KanFetNODESpec(T=24, latent_dim=8, num_basis=3, ode_hidden=8,
+                          max_steps=16)
+    p = kanfet_node_init(key, spec, jnp.float64)
+    x = jax.random.normal(key, (4, 24), jnp.float64)
+    logits = kanfet_node_apply(p, spec, x)
+    assert logits.shape == (4, 2)
+
+    g = jax.grad(lambda p: kanfet_node_apply(p, spec, x).sum())(p)
+    assert float(jnp.abs(g["encoder_w"]).sum()) > 0
+    assert float(jnp.abs(g["proj_w"]).sum()) > 0
+
+
+def test_kanfet_node_mlp_field(key):
+    spec = KanFetNODESpec(T=24, latent_dim=8, num_basis=3, ode_hidden=8,
+                          field="mlp", max_steps=16)
+    p = kanfet_node_init(key, spec, jnp.float64)
+    x = jax.random.normal(key, (3, 24), jnp.float64)
+    logits = kanfet_node_apply(p, spec, x)
+    assert logits.shape == (3, 2)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+@pytest.mark.parametrize("solver", ["dopri5", "euler", "rk4"])
+def test_kanfet_mlp_node_batched(key, solver):
+    spec = KanFetMLPNODESpec(T=24, latent_dim=8, num_basis=3, ode_hidden=8,
+                             solver=solver, max_steps=16, n_steps=4)
+    p = kanfet_mlp_node_init(key, spec, jnp.float64)
+    x = jax.random.normal(key, (5, 24), jnp.float64)
+    logits = kanfet_mlp_node_apply(p, spec, x)
+    assert logits.shape == (5, 2)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_kanfet_mlp_node_noisy_needs_key(key):
+    spec = KanFetMLPNODESpec(T=24, latent_dim=8, num_basis=3, ode_hidden=8,
+                             solver="rk4", n_steps=2, noise_std=0.2)
+    p = kanfet_mlp_node_init(key, spec, jnp.float64)
+    x = jax.random.normal(key, (2, 24), jnp.float64)
+    out = kanfet_mlp_node_apply(p, spec, x, noise_key=key)
+    assert np.all(np.isfinite(np.asarray(out)))
+    with pytest.raises(ValueError):
+        kanfet_mlp_node_apply(p, spec, x)
+
+
+def test_node_rnn_batched(key):
+    spec = NodeRNNSpec(hidden_size=8, num_basis=3, n_steps=12)
+    p = node_rnn_init(key, spec, jnp.float64)
+    x = jax.random.normal(key, (3, 24), jnp.float64)
+    logits = node_rnn_apply(p, spec, x)
+    assert logits.shape == (3, 2)
+
+
+def test_ode_rnn_encoder(key):
+    spec = OdeRnnEncoderSpec(hidden_size=8, num_basis=3, n_steps=12)
+    p = ode_rnn_encoder_init(key, spec, jnp.float64)
+    x_seq = jax.random.normal(key, (24, 1), jnp.float64)
+    h = ode_rnn_encode(p, spec, x_seq)
+    assert h.shape == (8,)
+
+
+def test_short_training_beats_chance():
+    data = _small_data()
+    spec = KanFetNODESpec(T=24, latent_dim=8, num_basis=4, ode_hidden=8,
+                          solver="rk4")
+
+    def init_fn(k):
+        return kanfet_node_init(k, spec)
+
+    def apply_fn(p, x):
+        return kanfet_node_apply(p, spec, x)
+
+    run = ECGRun(epochs=15, batch_size=8, log_every=100)
+    best, hist = train_ecg_model(init_fn, apply_fn, data, run, log=None)
+    assert hist["best_test_acc"] > 0.6, hist["test_acc"]
+    assert hist["loss"][-1] < hist["loss"][0]
+
+
+def test_noise_comparison_harness():
+    data = _small_data()
+
+    def make_model(std):
+        spec = KanFetMLPNODESpec(T=24, latent_dim=8, num_basis=3, ode_hidden=8,
+                                 solver="rk4", n_steps=4, noise_std=std)
+
+        def init_fn(k):
+            return kanfet_mlp_node_init(k, spec)
+
+        key_holder = jax.random.PRNGKey(123)
+
+        def apply_fn(p, x):
+            nk = key_holder if std > 0 else None
+            return kanfet_mlp_node_apply(p, spec, x, noise_key=nk)
+
+        return init_fn, apply_fn
+
+    results = compare_noise(make_model, data, noise_stds=(0.0, 0.2),
+                            run=ECGRun(epochs=3, batch_size=8), log=None)
+    assert set(results) == {0.0, 0.2}
+    for hist in results.values():
+        assert np.isfinite(hist["loss"]).all()
