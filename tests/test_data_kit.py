@@ -1,0 +1,123 @@
+"""Tests for the Informer-style data kit, time features, metrics, masks,
+and the multimodal text-fusion pipeline."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fetode_tpu.data import (
+    assert_feature_dim,
+    dataset_custom,
+    dataset_ett_hour,
+    dataset_pred,
+    fuse_features,
+    merge_with_text,
+    metric,
+    time_features,
+    triangular_causal_mask,
+)
+
+HAVE_ETT = os.path.exists("/root/reference/data/ETT/ETTh1.csv")
+
+
+def _toy_frame(n=400, freq="h"):
+    dates = pd.date_range("2020-01-01", periods=n, freq=freq)
+    rng = np.random.default_rng(0)
+    return pd.DataFrame({
+        "date": dates,
+        "A": np.sin(np.arange(n) / 24),
+        "B": rng.standard_normal(n),
+        "OT": np.cos(np.arange(n) / 24),
+    })
+
+
+def test_time_features_modes():
+    df = _toy_frame(48)[["date"]]
+    f0 = time_features(df, timeenc=0, freq="h")
+    f1 = time_features(df, timeenc=1, freq="h")
+    assert f0.shape == (48, 4)
+    assert f1.shape == (48, 4)
+    assert f1.min() >= -0.5 and f1.max() <= 0.5
+    # raw mode hours are integers 0..23
+    assert set(np.unique(f0[:, 3])) <= set(range(24))
+
+
+def test_dataset_custom_windows():
+    df = _toy_frame(400)
+    win, scaler = dataset_custom(flag="train", size=(48, 12, 12),
+                                 features="S", target="OT", df_raw=df)
+    assert win.seq_x.shape[1:] == (48, 1)
+    assert win.seq_y.shape[1:] == (24, 1)       # label 12 + pred 12
+    assert win.seq_x_mark.shape[1:] == (48, 4)
+    # label part of seq_y overlaps the tail of seq_x
+    np.testing.assert_allclose(win.seq_y[0, :12, 0], win.seq_x[0, -12:, 0],
+                               atol=1e-6)
+    # val split is shorter
+    win_val, _ = dataset_custom(flag="val", size=(48, 12, 12), features="S",
+                                target="OT", df_raw=df)
+    assert len(win_val.seq_x) < len(win.seq_x)
+
+
+def test_dataset_pred_tail_window():
+    df = _toy_frame(300)
+    seq_x, sxm, sym, scaler = dataset_pred(size=(48, 12, 12), features="S",
+                                           target="OT", df_raw=df)
+    assert seq_x.shape == (1, 48, 1)
+    assert sym.shape[1] == 12 + 12
+
+
+@pytest.mark.skipif(not HAVE_ETT, reason="ETTh1.csv not available")
+def test_dataset_ett_hour_real():
+    win, scaler = dataset_ett_hour(flag="train", size=(96, 48, 24),
+                                   features="M")
+    assert win.seq_x.shape[1:] == (96, 7)
+    assert len(win.seq_x) == 12 * 30 * 24 - 96 - 24 + 1
+    win_te, _ = dataset_ett_hour(flag="test", size=(96, 48, 24), features="M")
+    assert len(win_te.seq_x) == 4 * 30 * 24 - 24 + 1
+
+
+def test_metrics_sane():
+    pred = np.asarray([[1.0, 2.0], [3.0, 4.0]])
+    true = np.asarray([[1.0, 2.0], [3.0, 5.0]])
+    m = metric(pred, true)
+    assert m[0] == pytest.approx(0.25)      # MAE
+    assert m[1] == pytest.approx(0.25)      # MSE
+    assert np.isfinite(m).all()
+
+
+def test_causal_mask():
+    m = np.asarray(triangular_causal_mask(2, 4))
+    assert m.shape == (2, 1, 4, 4)
+    assert not m[0, 0, 3, 2] and m[0, 0, 0, 1]
+
+
+def test_multimodal_fusion_pipeline():
+    n = 60
+    dates = pd.date_range("2021-01-01", periods=n, freq="W")
+    numeric = pd.DataFrame({
+        "start_date": dates,
+        "end_date": dates + pd.Timedelta(days=6),
+        "OT": np.sin(np.arange(n) / 5.0),
+        "val": np.arange(n, dtype=float),
+    })
+    texts = pd.DataFrame({
+        "start_date": dates,
+        "end_date": dates + pd.Timedelta(days=6),
+        "fact": [f"heavy drought week {i} in region alpha" for i in range(n)],
+        "preds": [f"forecast says rain {i}" for i in range(n)],
+    })
+    merged = merge_with_text(numeric, texts, texts)
+    assert "text" in merged.columns and len(merged) == n
+    assert merged["text"].str.contains("REPORT_FACT").all()
+
+    X_num = merged[["OT", "val"]].values.astype(np.float32)
+    X, aux = fuse_features(X_num, merged["text"].tolist(), train_end=40,
+                           embed_dim=5)
+    assert X.shape == (n, 2 + 5)
+    assert np.isfinite(X).all()
+
+    assert_feature_dim(7, X)
+    with pytest.raises(ValueError):
+        assert_feature_dim(9, X)
