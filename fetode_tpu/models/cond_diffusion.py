@@ -1,0 +1,217 @@
+"""Conditional DDPM forecasting over full future sequences (B, Ly, D).
+
+Capability parity with ``/root/reference/kan_diffusion_ett.py``: the five
+denoiser variants are one spec over two axes —
+
+| reference class (:238-545)  | here: CondDenoiserSpec(encoder, net) |
+|-----------------------------|--------------------------------------|
+| MLPDenoiser                 | ('conv', 'mlp')                      |
+| KANDenoiser                 | ('conv', 'kan')                      |
+| KAN_FET_LINEAR_ODE          | ('conv', 'kanfet')                   |
+| KAN_NODE                    | ('node', 'kan')                      |
+| KAN_FET_ALL_NODE            | ('node', 'kanfet')                   |
+
+with ``PastEncoder`` (conv1d stack, :216-235), ``PastEncoderNeuralODE`` +
+``PastODEFunc`` (non-autonomous dz/dt = f(z, x(t)) with batched signal
+interpolation, :178-341), ``SinusoidalTimeEmbedding`` (:129-147), and the
+sequence-shaped DDPM q_sample / p_sample_loop (:551-609) — all batched,
+scan-based and PRNG-explicit here.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fetode_tpu.nn.diffusion import sinusoidal_emb
+from fetode_tpu.nn.kan import KANConfig, kan_apply, kan_init, kanfet_config, kan_state_init
+from fetode_tpu.nn.mlp import MLPConfig, mlp_apply, mlp_init
+from fetode_tpu.ops.interp import linear_interp
+from fetode_tpu.solvers import odeint_dopri5, odeint_fixed
+from fetode_tpu.utils.init import kaiming_uniform
+
+
+# ------------------------------------------------------- past encoders
+
+
+class ConvEncoderCfg(NamedTuple):
+    d_in: int
+    hidden: int = 128
+    out_dim: int = 128
+    kernel: int = 5
+
+
+def conv_encoder_init(key, cfg: ConvEncoderCfg, dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    shape1 = (cfg.hidden, cfg.d_in, cfg.kernel)
+    shape2 = (cfg.hidden, cfg.hidden, cfg.kernel)
+    return {
+        "conv1_w": kaiming_uniform(k1, shape1, fan_in=cfg.d_in * cfg.kernel,
+                                   dtype=dtype),
+        "conv1_b": jnp.zeros((cfg.hidden,), dtype),
+        "conv2_w": kaiming_uniform(k2, shape2, fan_in=cfg.hidden * cfg.kernel,
+                                   dtype=dtype),
+        "conv2_b": jnp.zeros((cfg.hidden,), dtype),
+        "proj_w": kaiming_uniform(k3, (cfg.out_dim, cfg.hidden), dtype=dtype),
+        "proj_b": jnp.zeros((cfg.out_dim,), dtype),
+    }
+
+
+def conv_encoder_apply(params, cfg: ConvEncoderCfg, past):
+    """past (B, L, D) -> (B, out_dim): conv1d(k=5) SiLU x2, mean-pool, proj."""
+    x = jnp.swapaxes(past, 1, 2)  # (B, D, L)
+    pad = cfg.kernel // 2
+
+    def conv(x, w, b):
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1,), padding=[(pad, pad)],
+            dimension_numbers=("NCH", "OIH", "NCH"))
+        return y + b[None, :, None]
+
+    h = jax.nn.silu(conv(x, params["conv1_w"], params["conv1_b"]))
+    h = jax.nn.silu(conv(h, params["conv2_w"], params["conv2_b"]))
+    h = h.mean(-1)  # adaptive avg pool to 1
+    return h @ params["proj_w"].T + params["proj_b"]
+
+
+class NodeEncoderCfg(NamedTuple):
+    d_in: int
+    cond_dim: int = 128
+    x_proj_dim: int = 128
+    ode_hidden: int = 128
+    n_eval: int = 5
+    solver: str = "dopri5"
+    rtol: float = 1e-3
+    atol: float = 1e-4
+    max_steps: int = 64
+    solver_mode: str = "scan"
+
+    @property
+    def field_mlp(self):
+        return MLPConfig((self.cond_dim + self.x_proj_dim, self.ode_hidden,
+                          self.ode_hidden, self.cond_dim), activation="silu")
+
+
+def node_encoder_init(key, cfg: NodeEncoderCfg, dtype=jnp.float32):
+    kx, kf, kz, kl = jax.random.split(key, 4)
+    return {
+        "x_proj_w": kaiming_uniform(kx, (cfg.x_proj_dim, cfg.d_in), dtype=dtype),
+        "x_proj_b": jnp.zeros((cfg.x_proj_dim,), dtype),
+        "field": mlp_init(kf, cfg.field_mlp, dtype),
+        "ln_scale": jnp.ones((cfg.cond_dim,), dtype),
+        "ln_bias": jnp.zeros((cfg.cond_dim,), dtype),
+        "z0_w": kaiming_uniform(kz, (cfg.cond_dim, cfg.x_proj_dim), dtype=dtype),
+        "z0_b": jnp.zeros((cfg.cond_dim,), dtype),
+    }
+
+
+def node_encoder_apply(params, cfg: NodeEncoderCfg, past):
+    """past (B, L, D) -> (B, cond_dim) via dz/dt = f(LN(z), x(t))."""
+    x_seq = past @ params["x_proj_w"].T + params["x_proj_b"]   # (B, L, P)
+    L = x_seq.shape[1]
+    t_grid = jnp.linspace(0.0, 1.0, L, dtype=past.dtype)
+    z0 = x_seq[:, 0] @ params["z0_w"].T + params["z0_b"]
+
+    def rhs(t, z):
+        x_t = linear_interp(t_grid, x_seq, t)                  # (B, P)
+        mu = z.mean(-1, keepdims=True)
+        var = ((z - mu) ** 2).mean(-1, keepdims=True)
+        zn = (z - mu) * jax.lax.rsqrt(var + 1e-5) * params["ln_scale"] \
+            + params["ln_bias"]
+        return mlp_apply(params["field"], cfg.field_mlp,
+                         jnp.concatenate([zn, x_t], axis=-1))
+
+    ts = jnp.linspace(0.0, 1.0, cfg.n_eval, dtype=past.dtype)
+    if cfg.solver == "dopri5":
+        traj = odeint_dopri5(rhs, z0, ts, rtol=cfg.rtol, atol=cfg.atol,
+                             max_steps=cfg.max_steps, mode=cfg.solver_mode)
+    else:
+        traj = odeint_fixed(rhs, z0, ts, method=cfg.solver)
+    return traj[-1]
+
+
+# ------------------------------------------------------------ denoisers
+
+
+class CondDenoiserSpec(NamedTuple):
+    d_in: int
+    pred_len: int
+    seq_len: int = 96
+    cond_dim: int = 128
+    time_dim: int = 128
+    hidden: int = 256
+    encoder: str = "conv"     # 'conv' | 'node'
+    net: str = "mlp"          # 'mlp' | 'kan' | 'kanfet'
+    ferro_num_basis: int = 4
+
+    @property
+    def conv_cfg(self):
+        return ConvEncoderCfg(self.d_in, 128, self.cond_dim)
+
+    @property
+    def node_cfg(self):
+        return NodeEncoderCfg(self.d_in, self.cond_dim)
+
+    @property
+    def in_dim(self):
+        return self.pred_len * self.d_in + self.cond_dim + self.time_dim
+
+    @property
+    def out_dim(self):
+        return self.pred_len * self.d_in
+
+    @property
+    def net_cfg(self):
+        sizes = [self.in_dim, self.hidden, self.hidden, self.out_dim]
+        if self.net == "kan":
+            return KANConfig.make(sizes)
+        if self.net == "kanfet":
+            return kanfet_config(sizes, ferro_num_basis=self.ferro_num_basis)
+        return MLPConfig(tuple(sizes), activation="silu")
+
+
+def cond_denoiser_init(key, spec: CondDenoiserSpec, dtype=jnp.float32):
+    ke, kn = jax.random.split(key)
+    enc = (conv_encoder_init(ke, spec.conv_cfg, dtype) if spec.encoder == "conv"
+           else node_encoder_init(ke, spec.node_cfg, dtype))
+    if spec.net == "mlp":
+        net = mlp_init(kn, spec.net_cfg, dtype)
+    else:
+        net = kan_init(kn, spec.net_cfg, dtype)
+    return {"encoder": enc, "net": net}
+
+
+def cond_denoiser_apply(params, spec: CondDenoiserSpec, x_t, past, t_idx):
+    """eps_hat (B, Ly, D) from noisy future + past conditioning + step."""
+    B = x_t.shape[0]
+    cond = (conv_encoder_apply(params["encoder"], spec.conv_cfg, past)
+            if spec.encoder == "conv"
+            else node_encoder_apply(params["encoder"], spec.node_cfg, past))
+    temb = sinusoidal_emb(t_idx, spec.time_dim).astype(x_t.dtype)
+    h = jnp.concatenate([x_t.reshape(B, -1), cond, temb], axis=-1)
+    if spec.net == "mlp":
+        eps = mlp_apply(params["net"], spec.net_cfg, h)
+    else:
+        state = (kan_state_init((B,), spec.net_cfg, x_t.dtype)
+                 if spec.net == "kanfet" else None)
+        eps, _ = kan_apply(params["net"], spec.net_cfg, h, state)
+    return eps.reshape(B, spec.pred_len, spec.d_in)
+
+
+DENOISER_VARIANTS = {
+    # name -> (encoder, net); the reference's five models
+    "mlp": ("conv", "mlp"),
+    "kan": ("conv", "kan"),
+    "kan_fet_linear_ode": ("conv", "kanfet"),
+    "kan_node": ("node", "kan"),
+    "kan_fet_all_node": ("node", "kanfet"),
+}
+
+
+def make_denoiser_spec(name: str, d_in: int, pred_len: int, seq_len: int = 96,
+                       **kw) -> CondDenoiserSpec:
+    enc, net = DENOISER_VARIANTS[name]
+    return CondDenoiserSpec(d_in=d_in, pred_len=pred_len, seq_len=seq_len,
+                            encoder=enc, net=net, **kw)
