@@ -52,3 +52,4 @@ from fetode_tpu.solvers.stateful import (  # noqa: F401
     integrate_final_stateful,
     odeint_fixed_stateful,
 )
+from fetode_tpu.solvers.adjoint import odeint_adjoint  # noqa: F401

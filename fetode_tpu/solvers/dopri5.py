@@ -56,12 +56,12 @@ class Dopri5Stats(NamedTuple):
 def _initial_step(func, t0, y0, f0, rtol, atol, args):
     """Hairer's automatic initial step size (Solving ODEs I, II.4)."""
     def rms(tree, ref):
-        parts = jax.tree_util.tree_map(
-            lambda v, r: (jnp.sum((v / (atol + rtol * jnp.abs(r))) ** 2), v.size),
-            tree, ref,
-        )
-        leaves = jax.tree_util.tree_leaves(parts, is_leaf=lambda x: isinstance(x, tuple))
-        return jnp.sqrt(sum(p[0] for p in leaves) / sum(p[1] for p in leaves))
+        sq = jax.tree_util.tree_map(
+            lambda v, r: jnp.sum((v / (atol + rtol * jnp.abs(r))) ** 2),
+            tree, ref)
+        total = jax.tree_util.tree_reduce(jnp.add, sq)
+        n = sum(l.size for l in jax.tree_util.tree_leaves(tree))
+        return jnp.sqrt(total / n)
 
     d0 = rms(y0, y0)
     d1 = rms(f0, y0)

@@ -92,10 +92,9 @@ def error_norm(y_err: PyTree, y0: PyTree, y1: PyTree, rtol, atol):
     def leaf_sq(e, a, b):
         scale = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))
         r = e / scale
-        return jnp.sum(r * r), r.size
+        return jnp.sum(r * r)
 
-    parts = jax.tree_util.tree_map(leaf_sq, y_err, y0, y1)
-    leaves = jax.tree_util.tree_leaves(parts, is_leaf=lambda x: isinstance(x, tuple))
-    total = sum(p[0] for p in leaves)
-    n = sum(p[1] for p in leaves)
+    sq = jax.tree_util.tree_map(leaf_sq, y_err, y0, y1)
+    total = jax.tree_util.tree_reduce(jnp.add, sq)
+    n = sum(l.size for l in jax.tree_util.tree_leaves(y_err))
     return jnp.sqrt(total / n)
