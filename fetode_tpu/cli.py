@@ -1,0 +1,318 @@
+"""Command-line entry point: ``python -m fetode_tpu.cli <workload> [--k v]``.
+
+The reference imports argparse in six scripts but never wires it
+(SURVEY.md L5); this is the real CLI: one subcommand per workload, preset
+hyper-parameters from ``fetode_tpu.config`` with ``--key value`` overrides,
+artifacts (loss curves, forecasts, hysteresis loops, metrics jsonl) under
+``--out-dir``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _parse(argv):
+    p = argparse.ArgumentParser(prog="fetode_tpu", description=__doc__)
+    p.add_argument("workload", choices=["predprey", "ecg", "ett",
+                                        "cond_diffusion", "timemmd", "mnist"])
+    p.add_argument("--out-dir", default="runs/latest")
+    p.add_argument("--plots", action="store_true", help="save plot artifacts")
+    args, unknown = p.parse_known_args(argv)
+    overrides = {}
+    key = None
+    for tok in unknown:
+        if tok.startswith("--"):
+            key = tok[2:].replace("-", "_")
+        elif key is not None:
+            overrides[key] = tok
+            key = None
+        else:
+            p.error(f"unexpected argument {tok!r}")
+    return args, overrides
+
+
+def run_predprey(cfg, out_dir, plots):
+    from fetode_tpu.diag.logging import MetricLogger
+    from fetode_tpu.models.predprey import PredPreyNODE
+    from fetode_tpu.train.predprey_driver import PredPreyRun, train_predprey
+
+    spec = PredPreyNODE.kanfet(layers_hidden=cfg.layers, grid_size=cfg.grid_size,
+                               ferro_num_basis=cfg.ferro_num_basis,
+                               method=cfg.method, rtol=cfg.rtol, atol=cfg.atol,
+                               max_steps=cfg.max_steps)
+    run = PredPreyRun(spec=spec, lr=cfg.lr, epochs=cfg.epochs,
+                      epochs_per_call=cfg.epochs_per_call, seed=cfg.seed)
+    logger = MetricLogger(os.path.join(out_dir, "metrics.jsonl"))
+    params, hist = train_predprey(run, log=lambda m: print(m, flush=True))
+    for i, (ep, tr) in enumerate(zip(hist["epoch"], hist["train"])):
+        logger.log(ep, train=tr, test=hist["test"][i] if hist["test"] else None)
+    if plots:
+        import jax.numpy as jnp
+
+        from fetode_tpu.diag.plots import plot_losses, plot_trajectory
+        from fetode_tpu.models.predprey import (PredPreyTask, generate_data,
+                                                predict)
+
+        task = PredPreyTask()
+        ts, _, truth = generate_data(task)
+        pred = predict(params, spec._replace(solver_mode="while",
+                                             max_steps=4 * spec.max_steps),
+                       jnp.asarray([task.x0, task.y0]), ts)
+        plot_trajectory(ts, truth, pred,
+                        os.path.join(out_dir, "trajectory.png"),
+                        train_cut=task.tf_learn)
+        plot_losses({"train": hist["train"], "test": hist["test"]},
+                    os.path.join(out_dir, "loss.png"))
+    return {"epochs_per_sec": hist["epochs_per_sec"],
+            "final_train": hist["train"][-1]}
+
+
+def run_ecg(cfg, out_dir, plots):
+    from fetode_tpu.data.ecg200 import load_ecg200, synthetic_ecg200
+    from fetode_tpu.models import ecg as M
+    from fetode_tpu.train.ecg_driver import ECGRun, train_ecg_model
+
+    try:
+        data = load_ecg200()
+    except FileNotFoundError:
+        print("ECG200 files not found; using synthetic stand-in")
+        data = synthetic_ecg200()
+    T = data[0].shape[1]
+
+    import jax
+
+    if cfg.model == "kanfet_node":
+        spec = M.KanFetNODESpec(T=T, latent_dim=cfg.latent_dim,
+                                num_basis=cfg.num_basis, solver=cfg.solver,
+                                rtol=cfg.rtol, atol=cfg.atol)
+        init_fn = lambda k: M.kanfet_node_init(k, spec)
+        apply_fn = lambda p, x: M.kanfet_node_apply(p, spec, x)
+    elif cfg.model == "kanfet_mlp_node":
+        spec = M.KanFetMLPNODESpec(T=T, latent_dim=cfg.latent_dim,
+                                   num_basis=cfg.num_basis, solver=cfg.solver,
+                                   rtol=cfg.rtol, atol=cfg.atol,
+                                   noise_std=cfg.noise_std)
+        nk = jax.random.PRNGKey(1234) if cfg.noise_std > 0 else None
+        init_fn = lambda k: M.kanfet_mlp_node_init(k, spec)
+        apply_fn = lambda p, x: M.kanfet_mlp_node_apply(p, spec, x, noise_key=nk)
+    elif cfg.model == "fepa_rnn":
+        from fetode_tpu.nn.rnn import (FerroKANRNNConfig, ferro_kan_rnn_apply,
+                                       ferro_kan_rnn_init)
+
+        rcfg = FerroKANRNNConfig(hidden_size=cfg.latent_dim,
+                                 num_basis=cfg.num_basis,
+                                 noise_std=cfg.noise_std)
+        nk = jax.random.PRNGKey(1234) if cfg.noise_std > 0 else None
+        init_fn = lambda k: ferro_kan_rnn_init(k, rcfg)
+        apply_fn = lambda p, x: ferro_kan_rnn_apply(p, rcfg, x, noise_key=nk)
+    elif cfg.model == "digital_rnn":
+        from fetode_tpu.nn.rnn import (DigitalRNNConfig, digital_rnn_apply,
+                                       digital_rnn_init)
+
+        rcfg = DigitalRNNConfig(hidden_size=cfg.latent_dim)
+        init_fn = lambda k: digital_rnn_init(k, rcfg)
+        apply_fn = lambda p, x: digital_rnn_apply(p, rcfg, x)
+    elif cfg.model == "node_rnn":
+        spec = M.NodeRNNSpec(hidden_size=cfg.latent_dim,
+                             num_basis=cfg.num_basis, noise_std=cfg.noise_std)
+        nk = jax.random.PRNGKey(1234) if cfg.noise_std > 0 else None
+        init_fn = lambda k: M.node_rnn_init(k, spec)
+        apply_fn = lambda p, x: M.node_rnn_apply(p, spec, x, noise_key=nk)
+    else:
+        raise SystemExit(f"unknown ECG model {cfg.model!r}")
+
+    run = ECGRun(epochs=cfg.epochs, batch_size=cfg.batch_size, lr=cfg.lr,
+                 weight_decay=cfg.weight_decay, seed=cfg.seed)
+    params, hist = train_ecg_model(init_fn, apply_fn, data, run)
+    if plots:
+        from fetode_tpu.diag.plots import plot_losses
+        plot_losses({"loss": hist["loss"]}, os.path.join(out_dir, "loss.png"),
+                    logy=False)
+    return {"best_test_acc": hist["best_test_acc"]}
+
+
+def run_ett(cfg, out_dir, plots):
+    from fetode_tpu.data.timeseries import load_ett_csv, synthetic_series
+    from fetode_tpu.models.forecasting import (DiffusionForecasterSpec,
+                                               LatentODEForecasterSpec)
+    from fetode_tpu.train.forecast_driver import (ForecastRun,
+                                                  train_diffusion_forecaster,
+                                                  train_point_forecaster)
+
+    try:
+        X, y, _ = load_ett_csv(name=cfg.dataset, target_col=cfg.target)
+    except FileNotFoundError:
+        print("ETT csv not found; using synthetic stand-in")
+        X, y = synthetic_series(n=2000, n_features=6)
+
+    run = ForecastRun(context_len=cfg.context_len, pred_len=cfg.pred_len,
+                      batch_size=cfg.batch_size, epochs=cfg.epochs,
+                      lr=cfg.lr, weight_decay=cfg.weight_decay,
+                      eval_samples=cfg.eval_samples, seed=cfg.seed)
+    if cfg.model == "point":
+        spec = LatentODEForecasterSpec(num_features=X.shape[1],
+                                       context_len=cfg.context_len,
+                                       pred_len=cfg.pred_len,
+                                       latent_dim=cfg.latent_dim)
+        params, hist = train_point_forecaster(spec, X, y, run)
+    else:
+        enc = {"diffusion": "mlp", "kan_diffusion": "kan",
+               "kan_fet_diffusion": "kanrnn"}[cfg.model]
+        spec = DiffusionForecasterSpec(num_features=X.shape[1],
+                                       context_len=cfg.context_len,
+                                       pred_len=cfg.pred_len,
+                                       latent_dim=cfg.latent_dim,
+                                       diff_T=cfg.diff_T, encoder=enc)
+        params, hist = train_diffusion_forecaster(spec, X, y, run)
+    if plots:
+        from fetode_tpu.diag.plots import plot_forecast, plot_losses
+        plot_losses({"train": hist["train"], "val": hist["val"]},
+                    os.path.join(out_dir, "loss.png"))
+        plot_forecast(y, hist["final_forecast"],
+                      os.path.join(out_dir, "forecast.png"))
+    return {"test_mse": hist["test_mse"]}
+
+
+def run_cond_diffusion(cfg, out_dir, plots):
+    import numpy as np
+
+    from fetode_tpu.data.timeseries import load_ett_csv, make_windows, \
+        split_time_series, standardize_fit, synthetic_series
+    from fetode_tpu.models.cond_diffusion import make_denoiser_spec
+    from fetode_tpu.train.cond_diffusion_driver import (CondDiffusionRun,
+                                                        train_conditional_diffusion)
+
+    try:
+        X, y, _ = load_ett_csv(name=cfg.dataset)
+    except FileNotFoundError:
+        print("ETT csv not found; using synthetic stand-in")
+        X, y = synthetic_series(n=1500, n_features=6)
+
+    tr, va, te = split_time_series(len(X))
+    s = standardize_fit(X[tr])
+    Xs = s.apply(X)
+    data = {}
+    for name, sl in (("train", tr), ("val", va), ("test", te)):
+        past, _ = make_windows(Xs[sl], Xs[sl][:, -1], cfg.seq_len, cfg.pred_len)
+        fut = np.stack([Xs[sl][i + cfg.seq_len:i + cfg.seq_len + cfg.pred_len]
+                        for i in range(len(past))])
+        data[name] = (past, fut)
+
+    spec = make_denoiser_spec(cfg.denoiser, d_in=Xs.shape[1],
+                              pred_len=cfg.pred_len, seq_len=cfg.seq_len)
+    run = CondDiffusionRun(seq_len=cfg.seq_len, pred_len=cfg.pred_len,
+                           diff_T=cfg.diff_T, epochs=cfg.epochs,
+                           batch_size=cfg.batch_size, lr=cfg.lr,
+                           eval_samples=cfg.eval_samples, seed=cfg.seed)
+    params, hist = train_conditional_diffusion(spec, data, run)
+    return {"final_val": hist["val"][-1]}
+
+
+def run_timemmd(cfg, out_dir, plots):
+    from fetode_tpu.data.paths import locate
+    from fetode_tpu.data.timeseries import load_timemmd_csv, synthetic_series
+    from fetode_tpu.models.forecasting import DiffusionForecasterSpec
+    from fetode_tpu.train.forecast_driver import (ForecastRun,
+                                                  train_diffusion_forecaster)
+
+    csv = locate(f"../Time_MMD/numerical/{cfg.domain}/{cfg.domain}.csv") or \
+        locate(f"Time_MMD/numerical/{cfg.domain}/{cfg.domain}.csv")
+    if csv:
+        X, y, df = load_timemmd_csv(csv, target_col="OT")
+        if cfg.multimodal:
+            from fetode_tpu.data.multimodal import fuse_features
+            if "text" in df.columns:
+                n_train = int(len(X) * 0.7)
+                X, _ = fuse_features(X, df["text"].tolist(), n_train,
+                                     embed_dim=cfg.text_embed_dim,
+                                     max_features=cfg.tfidf_max_features)
+    else:
+        print(f"Time-MMD {cfg.domain} csv not found; using synthetic stand-in")
+        X, y = synthetic_series(n=600, n_features=4)
+
+    run = ForecastRun(context_len=cfg.context_len, pred_len=cfg.pred_len,
+                      batch_size=cfg.batch_size, epochs=cfg.epochs, lr=cfg.lr,
+                      seed=cfg.seed)
+    spec = DiffusionForecasterSpec(num_features=X.shape[1],
+                                   context_len=cfg.context_len,
+                                   pred_len=cfg.pred_len, encoder="kanrnn")
+    params, hist = train_diffusion_forecaster(spec, X, y, run)
+    return {"test_mse": hist["test_mse"]}
+
+
+def run_mnist(cfg, out_dir, plots):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fetode_tpu.data.mnist import load_mnist, synthetic_digits
+    from fetode_tpu.models.kuramoto import (KuramotoSpec, kuramoto_init,
+                                            kuramoto_kan_apply)
+    from fetode_tpu.train.loop import init_state, make_minibatch_epoch
+    from fetode_tpu.train.optim import make_optimizer
+
+    try:
+        x_train, y_train = load_mnist("train")
+        x_test, y_test = load_mnist("test")
+    except FileNotFoundError:
+        print("MNIST files not found; using synthetic digits")
+        x_train, y_train = synthetic_digits(n=512)
+        x_test, y_test = synthetic_digits(seed=1, n=128)
+
+    spec = KuramotoSpec(H=x_train.shape[1], W=x_train.shape[2],
+                        steps=cfg.kuramoto_steps, dt=cfg.dt,
+                        num_basis=cfg.num_basis)
+    params = kuramoto_init(jax.random.PRNGKey(cfg.seed), spec)
+    tx = make_optimizer(cfg.lr, kind="adamw", weight_decay=1e-4, params=params)
+    state = init_state(params, tx)
+
+    def loss_fn(p, x, y):
+        logits = kuramoto_kan_apply(p, spec, x)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+    epoch_fn = make_minibatch_epoch(loss_fn, tx)
+
+    import numpy as np
+    bs = cfg.batch_size
+    for ep in range(cfg.epochs):
+        rng = np.random.default_rng(cfg.seed + ep)
+        idx = rng.permutation(len(x_train))[: (len(x_train) // bs) * bs]
+        bx = x_train[idx].reshape(-1, bs, *x_train.shape[1:])
+        by = y_train[idx].reshape(-1, bs)
+        state, losses = epoch_fn(state, (jnp.asarray(bx), jnp.asarray(by)))
+        logits = kuramoto_kan_apply(state.params, spec, jnp.asarray(x_test))
+        acc = float((jnp.argmax(logits, -1) == jnp.asarray(y_test)).mean())
+        print(f"epoch {ep}: loss {float(losses.mean()):.4f} test acc {acc:.4f}")
+    return {"test_acc": acc}
+
+
+RUNNERS = {
+    "predprey": run_predprey,
+    "ecg": run_ecg,
+    "ett": run_ett,
+    "cond_diffusion": run_cond_diffusion,
+    "timemmd": run_timemmd,
+    "mnist": run_mnist,
+}
+
+
+def main(argv=None):
+    from fetode_tpu.config import make_config
+
+    args, overrides = _parse(argv if argv is not None else sys.argv[1:])
+    cfg = make_config(args.workload, overrides)
+    os.makedirs(args.out_dir, exist_ok=True)
+    print(f"workload={args.workload} config={cfg}")
+    result = RUNNERS[args.workload](cfg, args.out_dir, args.plots)
+    with open(os.path.join(args.out_dir, "result.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Workload configuration presets + flag overrides.
+
+SURVEY.md §5.6: the reference's config surface is module constants,
+kwargs, one dataclass and an unused argparse import.  Here every workload
+has one preset dataclass mirroring the reference's de-facto published
+hyper-parameters, overridable from the CLI (``fetode_tpu.cli``) with
+``--key value`` flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+
+@dataclass
+class PredPreyPreset:
+    """train_kanfet_node_predprey.py:20-38 (lr 2e-3, 10k epochs,
+    KANFET [2,10,2] grid 5, dopri5)."""
+
+    epochs: int = 10_000
+    epochs_per_call: int = 100
+    lr: float = 2e-3
+    layers: tuple = (2, 10, 2)
+    grid_size: int = 5
+    ferro_num_basis: int = 8
+    method: str = "dopri5"
+    rtol: float = 1e-7
+    atol: float = 1e-9
+    max_steps: int = 256
+    seed: int = 0
+
+
+@dataclass
+class ECGPreset:
+    """train_ecg_kan_fet_nn_ode.py:1181-1261 (100 epochs "sweet spot",
+    batch 8, latent 64, basis 12, dopri5 rtol 1e-2 atol 1e-3)."""
+
+    model: str = "kanfet_node"       # kanfet_node|kanfet_mlp_node|fepa_rnn|digital_rnn|node_rnn
+    epochs: int = 100
+    batch_size: int = 8
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    latent_dim: int = 64
+    num_basis: int = 12
+    solver: str = "dopri5"
+    rtol: float = 1e-2
+    atol: float = 1e-3
+    noise_std: float = 0.0
+    seed: int = 0
+
+
+@dataclass
+class ETTPreset:
+    """train_kan_fet_ett.py:1341-1351 (ETTh1, context 96, pred 8,
+    batch 64, 100 epochs, AdamW 1e-3 wd 1e-4, latent 64)."""
+
+    dataset: str = "ETTh1"
+    target: str = "OT"
+    model: str = "point"             # point|diffusion|kan_diffusion|kan_fet_diffusion
+    context_len: int = 96
+    pred_len: int = 8
+    batch_size: int = 64
+    epochs: int = 100
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    latent_dim: int = 64
+    diff_T: int = 200
+    eval_samples: int = 10
+    seed: int = 0
+
+
+@dataclass
+class CondDiffusionPreset:
+    """kan_diffusion_ett.py:870-924 (seq 96, pred 24, T=250, batch 64,
+    AdamW 2e-4, five denoiser variants)."""
+
+    dataset: str = "ETTh1"
+    denoiser: str = "kan_fet_all_node"
+    seq_len: int = 96
+    pred_len: int = 24
+    diff_T: int = 250
+    batch_size: int = 64
+    epochs: int = 10
+    lr: float = 2e-4
+    eval_samples: int = 10
+    seed: int = 0
+
+
+@dataclass
+class TimeMMDPreset:
+    """train_kan_fet_mmd*_multimodal.py:234-257 (context 50, pred 12,
+    text SVD dim 7, batch 48, 50 epochs)."""
+
+    domain: str = "Energy"           # Energy|Climate
+    multimodal: bool = False
+    context_len: int = 50
+    pred_len: int = 12
+    text_embed_dim: int = 7
+    tfidf_max_features: int = 20_000
+    batch_size: int = 48
+    epochs: int = 50
+    lr: float = 1e-3
+    seed: int = 0
+
+
+@dataclass
+class MNISTPreset:
+    """mnist_kuramoto_kan.py:210-247 (10 Kuramoto steps dt 0.15,
+    3 epochs, batch 128, AdamW 1e-3)."""
+
+    kuramoto_steps: int = 10
+    dt: float = 0.15
+    num_basis: int = 8
+    epochs: int = 3
+    batch_size: int = 128
+    lr: float = 1e-3
+    seed: int = 0
+
+
+PRESETS = {
+    "predprey": PredPreyPreset,
+    "ecg": ECGPreset,
+    "ett": ETTPreset,
+    "cond_diffusion": CondDiffusionPreset,
+    "timemmd": TimeMMDPreset,
+    "mnist": MNISTPreset,
+}
+
+
+def make_config(workload: str, overrides: Optional[Dict[str, Any]] = None):
+    """Instantiate a preset with typed overrides; unknown keys error."""
+    cls = PRESETS[workload]
+    cfg = cls()
+    for k, v in (overrides or {}).items():
+        if not hasattr(cfg, k):
+            raise ValueError(f"unknown option {k!r} for workload {workload!r};"
+                             f" valid: {[f.name for f in dataclasses.fields(cls)]}")
+        cur = getattr(cfg, k)
+        if isinstance(cur, bool):
+            v = str(v).lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            v = int(v)
+        elif isinstance(cur, float):
+            v = float(v)
+        elif isinstance(cur, tuple):
+            v = tuple(int(x) for x in str(v).strip("()[]").split(","))
+        setattr(cfg, k, v)
+    return cfg

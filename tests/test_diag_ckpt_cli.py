@@ -1,0 +1,105 @@
+"""Diagnostics (hysteresis sweep, plots, logging), checkpoint/resume, and
+CLI smoke tests."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fetode_tpu.diag.hysteresis import loop_openness, plot_loops, sweep_loop
+from fetode_tpu.diag.logging import MetricLogger
+from fetode_tpu.ops.ferro import FerroConfig, ferro_init
+from fetode_tpu.train.checkpoint import BestTracker, CheckpointManager
+
+
+def test_hysteresis_sweep_shapes(key):
+    cfg = FerroConfig(2, 3, 4)
+    params = ferro_init(key, cfg)
+    fields, resp = sweep_loop(params, cfg, n_points=21)
+    assert fields.shape == (42,)
+    assert resp.shape == (42, 2, 3, 4)
+
+
+def test_loop_openness_positive(key):
+    cfg = FerroConfig(1, 1, 2)
+    params = ferro_init(key, cfg)
+    gaps = loop_openness(params, cfg, n_points=31)
+    assert gaps.shape == (1, 1, 2)
+    assert np.all(gaps > 0), "hysteresis must open a loop"
+
+
+def test_plot_loops_writes_pngs(key, tmp_path):
+    cfg = FerroConfig(1, 2, 2)
+    params = ferro_init(key, cfg)
+    paths = plot_loops(params, cfg, str(tmp_path), max_panels=3, n_points=11)
+    assert len(paths) == 3
+    assert all(os.path.exists(p) and os.path.getsize(p) > 0 for p in paths)
+
+
+def test_metric_logger_jsonl(tmp_path):
+    log = MetricLogger(str(tmp_path / "m.jsonl"), echo=False)
+    log.log(0, loss=1.5, acc=0.5)
+    log.log(1, loss=jnp.asarray(0.7))
+    recs = log.read()
+    assert len(recs) == 2
+    assert recs[1]["loss"] == pytest.approx(0.7)
+
+
+def test_checkpoint_roundtrip(tmp_path, key):
+    tree = {"w": jax.random.normal(key, (4, 3)), "step": jnp.asarray(7)}
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    assert mgr.save(1, tree)
+    tree2 = jax.tree_util.tree_map(lambda x: x * 2, tree)
+    assert mgr.save(2, tree2)
+    assert mgr.latest_step() == 2
+
+    restored = mgr.restore(template=tree)
+    np.testing.assert_allclose(np.asarray(restored["w"]),
+                               np.asarray(tree2["w"]), atol=1e-7)
+    old = mgr.restore(step=1, template=tree)
+    np.testing.assert_allclose(np.asarray(old["w"]), np.asarray(tree["w"]),
+                               atol=1e-7)
+
+
+def test_best_tracker():
+    bt = BestTracker("min")
+    p1 = {"w": jnp.ones(3)}
+    assert bt.update(1.0, p1)
+    assert not bt.update(2.0, {"w": jnp.zeros(3)})
+    restored = bt.restore(like=p1)
+    np.testing.assert_allclose(np.asarray(restored["w"]), 1.0)
+
+
+def test_config_presets_and_overrides():
+    from fetode_tpu.config import make_config
+
+    cfg = make_config("predprey", {"epochs": "50", "lr": "1e-2"})
+    assert cfg.epochs == 50 and cfg.lr == 0.01
+    with pytest.raises(ValueError):
+        make_config("predprey", {"bogus": 1})
+
+
+def test_cli_predprey_smoke(tmp_path):
+    from fetode_tpu.cli import main
+
+    result = main(["predprey", "--out-dir", str(tmp_path),
+                   "--epochs", "40", "--epochs-per-call", "20",
+                   "--method", "rk4", "--layers", "2,6,2",
+                   "--ferro-num-basis", "2"])
+    assert "epochs_per_sec" in result
+    assert os.path.exists(tmp_path / "result.json")
+
+
+def test_cli_ecg_smoke(tmp_path, monkeypatch):
+    from fetode_tpu.cli import main
+
+    # force synthetic data (ignore any real files) for speed
+    monkeypatch.setenv("FETODE_DATA_DIR", str(tmp_path))
+
+    result = main(["ecg", "--out-dir", str(tmp_path), "--epochs", "2",
+                   "--model", "digital_rnn", "--latent-dim", "8",
+                   "--batch-size", "16"])
+    assert "best_test_acc" in result
