@@ -1,0 +1,109 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh: dp and dp x tp
+training steps must match the single-device result."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fetode_tpu.models.predprey import PredPreyNODE, predict, predprey_init
+from fetode_tpu.parallel import (
+    batch_sharding,
+    kan_stack_param_specs,
+    make_mesh,
+    shard_params,
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_make_mesh_shapes():
+    m = make_mesh(8)
+    assert dict(m.shape) == {"data": 8, "model": 1}
+    m2 = make_mesh(8, model=2)
+    assert dict(m2.shape) == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(8, model=3)
+
+
+def test_param_specs_cover_tree(key):
+    spec = PredPreyNODE.kanfet(layers_hidden=(2, 4, 2), ferro_num_basis=2)
+    params = predprey_init(key, spec)
+    specs = kan_stack_param_specs(params)
+    # same tree structure when flattened against params
+    jax.tree_util.tree_map(lambda a, b: None, params, specs,
+                           is_leaf=lambda x: isinstance(x, P))
+    assert specs[0]["base_weight"] == P("model", None)
+    assert specs[0]["ferro"]["coef"] == P(None, "model", None)
+
+
+def test_sharded_forward_matches_unsharded(key):
+    spec = PredPreyNODE.kanfet(layers_hidden=(2, 4, 2), ferro_num_basis=2,
+                               method="rk4")
+    params = predprey_init(key, spec)
+    ts = jnp.linspace(0.0, 1.0, 5, jnp.float32)
+    x0s = jax.random.uniform(key, (16, 2), jnp.float32, 0.5, 2.0)
+
+    ref = jax.vmap(lambda x0: predict(params, spec, x0, ts))(x0s)
+
+    mesh = make_mesh(8, model=2)
+    p_sh = shard_params(params, mesh, kan_stack_param_specs(params))
+    x_sh = jax.device_put(x0s, batch_sharding(mesh))
+
+    with mesh:
+        out = jax.jit(
+            lambda p, x: jax.vmap(lambda x0: predict(p, spec, x0, ts))(x)
+        )(p_sh, x_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_sharded_train_step_matches_unsharded(key):
+    import optax
+
+    from fetode_tpu.train.optim import make_optimizer
+
+    spec = PredPreyNODE.kanfet(layers_hidden=(2, 4, 2), ferro_num_basis=2,
+                               method="rk4")
+    params = predprey_init(key, spec)
+    ts = jnp.linspace(0.0, 1.0, 5, jnp.float32)
+    x0s = jax.random.uniform(key, (16, 2), jnp.float32, 0.5, 2.0)
+    targets = jnp.ones((16, 5, 2), jnp.float32)
+
+    tx = make_optimizer(1e-3, kind="adam", params=params)
+
+    def loss_fn(p, x0s, tg):
+        preds = jax.vmap(lambda x0: predict(p, spec, x0, ts))(x0s)
+        return jnp.mean((preds - tg) ** 2)
+
+    def step(p, opt_state, x0s, tg):
+        loss, grads = jax.value_and_grad(loss_fn)(p, x0s, tg)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), loss
+
+    # single-device reference
+    p_ref, loss_ref = jax.jit(step)(params, tx.init(params), x0s, targets)
+
+    # dp x tp sharded
+    mesh = make_mesh(8, model=2)
+    p_sh = shard_params(params, mesh, kan_stack_param_specs(params))
+    opt_sh = tx.init(p_sh)
+    with mesh:
+        p_new, loss_sh = jax.jit(step)(p_sh, opt_sh,
+                                       jax.device_put(x0s, batch_sharding(mesh)),
+                                       jax.device_put(targets,
+                                                      batch_sharding(mesh)))
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_new),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (35, 2)
+    g.dryrun_multichip(8)
