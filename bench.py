@@ -45,7 +45,9 @@ def main() -> None:
     def loss_fn(p, x0_, ts_, tgt):
         return trajectory_loss(p, spec, x0_, ts_, tgt)
 
-    epochs_per_call = 50
+    # Long per-call epoch scans amortise the ~100 ms tunnel round-trip so
+    # the number reflects device throughput.
+    epochs_per_call = 200
     scanner = make_epoch_scanner(loss_fn, tx, epochs_per_call)
 
     # Warm up / compile.  NOTE: block on a host transfer, not just
@@ -54,7 +56,7 @@ def main() -> None:
     float(jax.device_get(losses)[-1])
 
     # Timed region.
-    n_calls = 4
+    n_calls = 3
     t0 = time.perf_counter()
     for _ in range(n_calls):
         state, losses = scanner(state, x0, ts_learn, target)

@@ -19,6 +19,14 @@ Layout: the (out, K) axes are flattened to M = out*K (padded to the
 The backward pass reuses the pure-jnp reference (`ops.ferro.ferro_apply`)
 via `jax.vjp` under recompute — bitwise-identical gradients to the
 reference path by construction.
+
+Measured on TPU v5e (B=256, in=64, out=128, K=12, f32, 50-iteration
+amortised): XLA-fused jnp path 857 us/op, this kernel 1237 us/op — XLA's
+automatic fusion already sits near the HBM roofline for this
+elementwise-dominated op (the (B, in, out, K) branch-state read+write is
+the hard floor), so the jnp path remains the default and this kernel is
+kept as a parity-tested alternative.  The real lever is shrinking the
+state traffic itself (bf16 branch state — see ``FerroState`` docs).
 """
 
 from __future__ import annotations
@@ -113,21 +121,25 @@ def _fused_fwd_impl(params, state, x, cfg, interpret=False):
 
     kern = functools.partial(_kernel, gate_slope=cfg.gate_slope,
                              alpha=cfg.alpha)
-    grid = (Bp // TB, Mp // TM)
+    # Grid order: M-tiles on the OUTER axis, batch tiles inner — the last
+    # grid dim iterates fastest, so the parameter blocks (indexed by j only)
+    # stay resident in VMEM across the whole batch sweep instead of being
+    # refetched per batch tile.
+    grid = (Mp // TM, Bp // TB)
     red, nb = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TB, P), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, P), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, P, TM), lambda i, j: (i, 0, j),
+            pl.BlockSpec((TB, P), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, P), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, P, TM), lambda j, i: (i, 0, j),
                          memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec((P, TM), lambda i, j: (0, j),
+        ] + [pl.BlockSpec((P, TM), lambda j, i: (0, j),
                           memory_space=pltpu.VMEM)] * 5,
         out_specs=[
-            pl.BlockSpec((TB, TM), lambda i, j: (i, j),
+            pl.BlockSpec((TB, TM), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, P, TM), lambda i, j: (i, 0, j),
+            pl.BlockSpec((TB, P, TM), lambda j, i: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
