@@ -14,13 +14,16 @@ from fetode_tpu.utils.trees import trainable_mask
 
 
 def make_optimizer(
-    lr: float,
+    lr,
     *,
     kind: str = "adam",
     weight_decay: float = 0.0,
     grad_clip: float | None = None,
     params=None,
 ):
+    """``lr`` may be a float or an optax schedule (e.g.
+    ``train.tools.cosine_schedule`` — the CosineAnnealing the reference's
+    ECG scripts use)."""
     if kind == "adam":
         core = optax.adam(lr)
     elif kind == "adamw":

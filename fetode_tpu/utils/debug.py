@@ -1,0 +1,47 @@
+"""Numerical-safety debug utilities.
+
+SURVEY.md §5.2: the reference's analogue is
+``torch.autograd.set_detect_anomaly(True)`` and inline NaN guards; here:
+a `debug_nans` context (XLA-level NaN detection), an assert-style finite
+check for tests/drivers, and a pytree health report.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def debug_nans(enable: bool = True):
+    """Enable XLA NaN detection inside the context (jit-level anomaly mode)."""
+    prev = bool(jax.config.jax_debug_nans)
+    jax.config.update("jax_debug_nans", enable)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", prev)
+
+
+def check_finite(tree, name: str = "tree"):
+    """Raise if any leaf contains non-finite values (host-synchronous;
+    the reference's ``_check_finite``, train_kan_fet_ett.py:46-49)."""
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        if not bool(jnp.isfinite(leaf).all()):
+            raise FloatingPointError(f"non-finite values in {name}{path}")
+    return tree
+
+
+def tree_health(tree) -> dict:
+    """Summary stats per leaf: max |x|, any non-finite — for debugging
+    exploding solves without flooding logs."""
+    out = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(p) for p in path)
+        out[key] = {
+            "max_abs": float(jnp.abs(leaf).max()) if leaf.size else 0.0,
+            "nonfinite": int((~jnp.isfinite(leaf)).sum()),
+        }
+    return out
