@@ -8,3 +8,9 @@ from fetode_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_params,
 )
+
+from fetode_tpu.parallel.multihost import (  # noqa: F401
+    global_batch_sharding,
+    initialize_distributed,
+    make_multislice_mesh,
+)

@@ -221,11 +221,22 @@ def odeint_dopri5(
             carry, _ = jax.lax.scan(lambda c, _: (attempt(c), None), carry0, None,
                                     length=max_steps)
 
+    # Graceful degradation if the step budget ran out: outputs beyond the
+    # integration frontier hold the LAST reached state (param-dependent, so
+    # gradients survive a transient failure) instead of the y0 prefill.
+    unreached = ts > carry["t"] + tiny
+
+    def fill(buf, yl):
+        m = unreached.reshape(unreached.shape + (1,) * (buf.ndim - 1))
+        return jnp.where(m, yl[None], buf)
+
+    ys = jax.tree_util.tree_map(fill, carry["ys"], carry["y"])
+
     if full_output:
         stats = Dopri5Stats(
             n_accepted=carry["n_acc"],
             n_rejected=carry["n_rej"],
             success=carry["t"] >= t_final - tiny,
         )
-        return carry["ys"], stats
-    return carry["ys"]
+        return ys, stats
+    return ys

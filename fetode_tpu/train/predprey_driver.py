@@ -36,6 +36,11 @@ class PredPreyRun:
     seed: int = 0
     eval_every_call: bool = True
     dtype: object = jnp.float32
+    # Stability (the reference trains bare Adam at 2e-3 and its loss curves
+    # oscillate wildly; a mid-training field blow-up can exhaust the
+    # adaptive step budget and kill gradients): clip + cosine decay.
+    grad_clip: float = 1.0
+    cosine_decay: bool = True
 
     def __post_init__(self):
         if self.spec is None:
@@ -50,7 +55,12 @@ def train_predprey(run: PredPreyRun, log=print):
     x0 = jnp.asarray([task.x0, task.y0], run.dtype)
 
     params = predprey_init(jax.random.PRNGKey(run.seed), spec, run.dtype)
-    tx = make_optimizer(run.lr, kind="adam", params=params)
+    lr = run.lr
+    if run.cosine_decay:
+        import optax
+        lr = optax.cosine_decay_schedule(run.lr, run.epochs, alpha=0.05)
+    tx = make_optimizer(lr, kind="adam", grad_clip=run.grad_clip,
+                        params=params)
     state = init_state(params, tx)
 
     def loss_fn(p, x0_, ts_, target_):
