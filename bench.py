@@ -71,17 +71,28 @@ def main() -> None:
         with open(base_path) as fh:
             baseline_sec_per_epoch = json.load(fh)["sec_per_epoch"]
 
+    extra = {
+        "final_train_loss": final_loss,
+        "baseline_cpu_sec_per_epoch": baseline_sec_per_epoch,
+        "device": str(jax.devices()[0]),
+    }
+    # Convergence/parity evidence from the recorded full 10k-epoch run
+    # (benchmarks/predprey_10k_run.json, produced on this chip).
+    run_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "predprey_10k_run.json")
+    if os.path.exists(run_path):
+        with open(run_path) as fh:
+            rec = json.load(fh)
+        extra["full_run_final_train_mse"] = rec["train"][-1]
+        extra["full_run_best_test_mse"] = min(rec["test"])
+
     result = {
         "metric": "predprey KANFET-NODE training throughput (dopri5 rtol1e-7, full epoch incl. grad+Adam)",
         "value": round(epochs_per_sec, 3),
         "unit": "epochs/sec",
         "vs_baseline": (round(epochs_per_sec * baseline_sec_per_epoch, 2)
                         if baseline_sec_per_epoch else None),
-        "extra": {
-            "final_train_loss": final_loss,
-            "baseline_cpu_sec_per_epoch": baseline_sec_per_epoch,
-            "device": str(jax.devices()[0]),
-        },
+        "extra": extra,
     }
     print(json.dumps(result))
 
