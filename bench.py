@@ -71,8 +71,31 @@ def main() -> None:
         with open(base_path) as fh:
             baseline_sec_per_epoch = json.load(fh)["sec_per_epoch"]
 
+    # Batched-trajectory inference throughput: vmap over initial conditions
+    # (the TPU-native upgrade the reference's stateful buffers forbid).
+    from fetode_tpu.models.predprey import predict as pp_predict
+
+    n_traj = 512
+    x0s = jax.random.uniform(jax.random.PRNGKey(1), (n_traj, 2), jnp.float32,
+                             0.5, 2.0)
+    infer_spec = spec._replace(max_steps=512)
+
+    @jax.jit
+    def solve_batch(p, x0s):
+        return jax.vmap(lambda x0: pp_predict(p, infer_spec, x0, ts))(x0s)
+
+    out = solve_batch(state.params, x0s)
+    float(jax.device_get(out)[0, 0, 0])          # compile + sync
+    n_rep = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = solve_batch(state.params, x0s)
+    float(jax.device_get(out)[0, 0, 0])
+    traj_per_sec = n_rep * n_traj / (time.perf_counter() - t0)
+
     extra = {
         "final_train_loss": final_loss,
+        "trajectories_per_sec_per_chip": round(traj_per_sec, 1),
         "baseline_cpu_sec_per_epoch": baseline_sec_per_epoch,
         "device": str(jax.devices()[0]),
     }

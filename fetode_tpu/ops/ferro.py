@@ -152,8 +152,14 @@ def ferro_basis(
         noise = jax.random.normal(noise_key, basis.shape, basis.dtype) * cfg.noise_std
         basis = basis + jax.lax.stop_gradient(noise)
 
-    new_branch = jax.lax.stop_gradient(target) if cfg.update_branch else state.branch
-    new_state = FerroState(prev_x=jax.lax.stop_gradient(x), branch=new_branch)
+    # Preserve the caller's state dtype: hysteresis state is stop-gradient
+    # bounded-in-[-1,1] memory, so bfloat16 state halves the dominant HBM
+    # traffic of this op at no accuracy cost (compute stays in x.dtype).
+    new_branch = (jax.lax.stop_gradient(target).astype(state.branch.dtype)
+                  if cfg.update_branch else state.branch)
+    new_state = FerroState(
+        prev_x=jax.lax.stop_gradient(x).astype(state.prev_x.dtype),
+        branch=new_branch)
     return basis, new_state
 
 

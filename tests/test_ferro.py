@@ -177,3 +177,27 @@ def test_scan_carried_state():
     _, ys = jax.lax.scan(step, s0, fields)
     assert ys.shape == (50, 1, 1)
     assert np.all(np.isfinite(np.asarray(ys)))
+
+
+def test_bf16_state_supported():
+    """bfloat16 hysteresis state threads through scans (dtype-stable carry)
+    and stays close to the f32 result."""
+    cfg = _cfg(in_dim=2, out_dim=3, num_basis=4)
+    params = ferro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+
+    def run(state_dtype):
+        state = ferro_state_init((4,), cfg, dtype=state_dtype)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (6, 4, 2), jnp.float32)
+
+        def step(s, x):
+            y, s1 = ferro_apply(params, s, x, cfg)
+            return s1, y
+
+        _, ys = jax.lax.scan(step, state, xs)
+        return ys
+
+    y32 = run(jnp.float32)
+    y16 = run(jnp.bfloat16)
+    assert y16.dtype == jnp.float32  # compute dtype follows x
+    np.testing.assert_allclose(np.asarray(y32), np.asarray(y16),
+                               atol=5e-2, rtol=5e-2)
