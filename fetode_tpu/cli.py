@@ -26,12 +26,16 @@ def _parse(argv):
     key = None
     for tok in unknown:
         if tok.startswith("--"):
+            if key is not None:          # previous flag had no value: boolean
+                overrides[key] = "true"
             key = tok[2:].replace("-", "_")
         elif key is not None:
             overrides[key] = tok
             key = None
         else:
             p.error(f"unexpected argument {tok!r}")
+    if key is not None:                  # trailing valueless flag
+        overrides[key] = "true"
     return args, overrides
 
 
@@ -277,16 +281,23 @@ def run_mnist(cfg, out_dir, plots):
     epoch_fn = make_minibatch_epoch(loss_fn, tx)
 
     import numpy as np
-    bs = cfg.batch_size
+
+    def eval_acc(p):
+        logits = kuramoto_kan_apply(p, spec, jnp.asarray(x_test))
+        return float((jnp.argmax(logits, -1) == jnp.asarray(y_test)).mean())
+
+    bs = min(cfg.batch_size, len(x_train))
+    acc = None
     for ep in range(cfg.epochs):
         rng = np.random.default_rng(cfg.seed + ep)
         idx = rng.permutation(len(x_train))[: (len(x_train) // bs) * bs]
         bx = x_train[idx].reshape(-1, bs, *x_train.shape[1:])
         by = y_train[idx].reshape(-1, bs)
         state, losses = epoch_fn(state, (jnp.asarray(bx), jnp.asarray(by)))
-        logits = kuramoto_kan_apply(state.params, spec, jnp.asarray(x_test))
-        acc = float((jnp.argmax(logits, -1) == jnp.asarray(y_test)).mean())
+        acc = eval_acc(state.params)
         print(f"epoch {ep}: loss {float(losses.mean()):.4f} test acc {acc:.4f}")
+    if acc is None:  # epochs == 0: report untrained accuracy
+        acc = eval_acc(state.params)
     return {"test_acc": acc}
 
 

@@ -24,9 +24,9 @@ def _parse(path: str) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _znorm_rows(x: np.ndarray, eps: float = 1e-8) -> np.ndarray:
-    mu = x.mean(axis=1, keepdims=True)
-    sd = x.std(axis=1, keepdims=True)
-    return (x - mu) / (sd + eps)
+    from fetode_tpu.data import native
+
+    return native.znorm_rows(x, eps)  # C++ when built, numpy fallback inside
 
 
 def load_ecg200(train_path: str | None = None, test_path: str | None = None,
@@ -76,8 +76,9 @@ def synthetic_ecg200(seed: int = 0, n_train: int = 64, n_test: int = 32,
 def batch_iterator(x, y, batch_size: int, *, seed: int = 0, drop_last: bool = True):
     """Pre-shuffled full-epoch batch tensor: (n_batches, B, ...) arrays ready
     for a `lax.scan` minibatch epoch (no Python-side DataLoader workers)."""
-    rng = np.random.default_rng(seed)
-    idx = rng.permutation(len(x))
+    from fetode_tpu.data import native
+
+    idx = native.shuffled_indices(len(x), seed)
     n_batches = len(x) // batch_size if drop_last else -(-len(x) // batch_size)
     xs, ys = [], []
     for i in range(n_batches):

@@ -36,8 +36,11 @@ def load_mnist(split: str = "train", root: str | None = None):
              f"{prefix}-images-idx3-ubyte"]
     img_path = lbl_path = None
     for n in names:
-        p = (os.path.join(root, n) if root else None) or locate(n) \
-            or locate(n + ".gz")
+        candidates = []
+        if root:
+            candidates += [os.path.join(root, n), os.path.join(root, n + ".gz")]
+        candidates += [locate(n), locate(n + ".gz")]
+        p = next((c for c in candidates if c and os.path.exists(c)), None)
         if p:
             img_path = p
             lbl_path = p.replace("images-idx3", "labels-idx1")

@@ -97,22 +97,29 @@ def split_time_series(n: int, train_frac: float = 0.7, val_frac: float = 0.1):
 def make_windows(X: np.ndarray, y: np.ndarray, context_len: int,
                  pred_len: int):
     """All sliding windows as dense arrays:
-    returns x_ctx (M, context_len, F) and y_fut (M, pred_len)."""
+    returns x_ctx (M, context_len, F) and y_fut (M, pred_len).
+
+    Window assembly runs in the native C++ runtime when built
+    (``fetode_tpu.data.native``; numpy fallback inside)."""
+    from fetode_tpu.data import native
+
     n = len(X)
     m = n - (context_len + pred_len) + 1
     if m <= 0:
         raise ValueError("series shorter than context_len + pred_len")
-    idx = np.arange(m)[:, None]
-    ctx_idx = idx + np.arange(context_len)[None, :]
-    fut_idx = idx + context_len + np.arange(pred_len)[None, :]
-    return X[ctx_idx].astype(np.float32), y[fut_idx].astype(np.float32)
+    starts = np.arange(m, dtype=np.int64)
+    x_ctx = native.window_gather(X, starts, context_len)
+    y_fut = native.window_gather(y[:, None], starts + context_len,
+                                 pred_len)[..., 0]
+    return x_ctx, y_fut
 
 
 def window_batches(x_ctx: np.ndarray, y_fut: np.ndarray, batch_size: int,
                    *, seed: int = 0, drop_last: bool = True):
     """(n_batches, B, ...) stacked shuffled minibatches for a scan epoch."""
-    rng = np.random.default_rng(seed)
-    idx = rng.permutation(len(x_ctx))
+    from fetode_tpu.data import native
+
+    idx = native.shuffled_indices(len(x_ctx), seed)
     nb = len(x_ctx) // batch_size if drop_last else -(-len(x_ctx) // batch_size)
     bx, by = [], []
     for i in range(nb):

@@ -88,8 +88,10 @@ def hysteretic_logistic_basis(
 
     The up branch is the logistic shifted left by ``ec`` and the down branch
     shifted right; a gate driven by the sign of ``dx = x - prev_x`` selects
-    the branch, yielding an open hysteresis loop under cyclic drive.  A
-    smooth sigmoid gate is the default — the hard gate of the reference
+    the branch, yielding an open hysteresis loop under cyclic drive.  When
+    the drive is stationary (dx ~ 0) the PREVIOUS branch persists — the
+    carried ``state.branch`` is genuine memory, not just the last gate.
+    A smooth gate is the default — the hard gate of the reference
     (``train_ecg_kan_fet_nn_ode.py:122-125``) kills gradients and is kept
     only behind ``hard_gate=True``.
 
@@ -97,7 +99,12 @@ def hysteretic_logistic_basis(
     """
     xe = x[..., None]                                        # (..., in, 1)
     dx = x - jax.lax.stop_gradient(state.prev_x)             # (..., in)
-    gate = jax.nn.sigmoid(gate_slope * dx)[..., None]        # (..., in, 1)
+    raw = jax.nn.sigmoid(gate_slope * dx)[..., None]         # (..., in, 1)
+    # persistence weight: 1 at dx = 0 (keep previous branch), -> 0 for a
+    # decisive sweep in either direction
+    persist = 4.0 * raw * (1.0 - raw)
+    branch_prev = jax.lax.stop_gradient(state.branch)        # (..., in, K)
+    gate = (1.0 - persist) * raw + persist * branch_prev
     if hard_gate:
         gate = jax.lax.stop_gradient((gate > 0.5).astype(x.dtype))
 
@@ -106,7 +113,8 @@ def hysteretic_logistic_basis(
     phi = gate * up + (1.0 - gate) * down
 
     new_state = HystereticLogisticState(
-        prev_x=jax.lax.stop_gradient(x),
-        branch=jax.lax.stop_gradient(jnp.broadcast_to(gate, phi.shape)),
+        prev_x=jax.lax.stop_gradient(x).astype(state.prev_x.dtype),
+        branch=jax.lax.stop_gradient(
+            jnp.broadcast_to(gate, phi.shape)).astype(state.branch.dtype),
     )
     return phi, new_state

@@ -151,8 +151,11 @@ def _fused_fwd_impl(params, state, x, cfg, interpret=False):
 
     y = red[:B].reshape(B, out_pad, K).sum(-1)[:, :O]
     new_branch = nb[:B, :, :M].reshape(B, P, O, K)
-    new_state = FerroState(prev_x=jax.lax.stop_gradient(x),
-                           branch=jax.lax.stop_gradient(new_branch))
+    # Preserve the caller's state dtype (drop-in parity with ferro_apply,
+    # including bf16 state carries).
+    new_state = FerroState(
+        prev_x=jax.lax.stop_gradient(x).astype(state.prev_x.dtype),
+        branch=jax.lax.stop_gradient(new_branch).astype(state.branch.dtype))
     return y, new_state
 
 

@@ -37,8 +37,8 @@ def odeint_adjoint(func: Callable, y0: PyTree, ts: jax.Array, *args,
                    max_steps: int = 512, adjoint_rtol: float | None = None,
                    adjoint_atol: float | None = None):
     """Like ``odeint_dopri5`` but with continuous-adjoint gradients."""
-    adjoint_rtol = adjoint_rtol or rtol
-    adjoint_atol = adjoint_atol or atol
+    adjoint_rtol = rtol if adjoint_rtol is None else adjoint_rtol
+    adjoint_atol = atol if adjoint_atol is None else adjoint_atol
 
     @partial(jax.custom_vjp, nondiff_argnums=())
     def solve(y0, ts, args):

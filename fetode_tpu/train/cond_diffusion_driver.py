@@ -52,12 +52,11 @@ class CondDiffusionRun:
 
 
 def _batches(x, y, batch_size, seed):
+    batch_size = min(batch_size, len(x))   # short splits: shrink the batch
     rng = np.random.default_rng(seed)
     idx = rng.permutation(len(x))
     nb = max(len(x) // batch_size, 1)
     sel = idx[: nb * batch_size]
-    if len(sel) < nb * batch_size:
-        sel = np.concatenate([sel, idx[: nb * batch_size - len(sel)]])
     return (x[sel].reshape(nb, batch_size, *x.shape[1:]),
             y[sel].reshape(nb, batch_size, *y.shape[1:]))
 

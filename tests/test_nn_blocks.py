@@ -229,3 +229,43 @@ def test_predprey_rnn_rollout(key):
                                 t_grid)
     assert traj.shape == (6, 2)
     np.testing.assert_allclose(np.asarray(traj[0]), [1.0, 1.0])
+
+
+def test_hysteretic_logistic_persistence_and_loop(key):
+    """Branch memory: stationary drive keeps the previous branch; an
+    up-then-down sweep traces an open loop."""
+    import jax.numpy as jnp
+
+    from fetode_tpu.ops.logistic import (
+        hysteretic_logistic_basis,
+        hysteretic_logistic_init,
+        hysteretic_logistic_state,
+    )
+
+    p = hysteretic_logistic_init(key, in_features=1, num_basis=1,
+                                 dtype=jnp.float64)
+    s0 = hysteretic_logistic_state((1,), 1, 1, jnp.float64)
+
+    # sweep down far -> branch ~ 0; then hold the SAME x: branch persists ~0
+    x_low = jnp.asarray([[-3.0]], jnp.float64)
+    _, s = hysteretic_logistic_basis(p, s0, x_low)
+    assert float(s.branch[0, 0, 0]) < 0.2
+    _, s2 = hysteretic_logistic_basis(p, s, x_low)   # dx == 0
+    assert float(s2.branch[0, 0, 0]) < 0.2, "stationary drive flipped branch"
+
+    # open loop: up-sweep vs down-sweep values at x=0 differ
+    import numpy as np
+    xs = np.linspace(-3, 3, 41)
+
+    def sweep(seq):
+        s = hysteretic_logistic_state((1,), 1, 1, jnp.float64)
+        vals = []
+        for v in seq:
+            phi, s = hysteretic_logistic_basis(
+                p, s, jnp.asarray([[v]], jnp.float64))
+            vals.append(float(phi[0, 0, 0]))
+        return np.asarray(vals)
+
+    rise = sweep(xs)
+    fall = sweep(np.concatenate([xs, xs[::-1]]))[len(xs):][::-1]
+    assert np.abs(rise - fall).max() > 1e-3, "no hysteresis opening"
