@@ -170,7 +170,7 @@ def run_ett(cfg, out_dir, plots):
                                        context_len=cfg.context_len,
                                        pred_len=cfg.pred_len,
                                        latent_dim=cfg.latent_dim,
-                                       diff_T=cfg.diff_T, encoder=enc)
+                                       diff_T=cfg.diff_t, encoder=enc)
         params, hist = train_diffusion_forecaster(spec, X, y, run)
     if plots:
         from fetode_tpu.diag.plots import plot_forecast, plot_losses
@@ -209,7 +209,7 @@ def run_cond_diffusion(cfg, out_dir, plots):
     spec = make_denoiser_spec(cfg.denoiser, d_in=Xs.shape[1],
                               pred_len=cfg.pred_len, seq_len=cfg.seq_len)
     run = CondDiffusionRun(seq_len=cfg.seq_len, pred_len=cfg.pred_len,
-                           diff_T=cfg.diff_T, epochs=cfg.epochs,
+                           diff_T=cfg.diff_t, epochs=cfg.epochs,
                            batch_size=cfg.batch_size, lr=cfg.lr,
                            eval_samples=cfg.eval_samples, seed=cfg.seed)
     params, hist = train_conditional_diffusion(spec, data, run)

@@ -66,7 +66,7 @@ class ETTPreset:
     lr: float = 1e-3
     weight_decay: float = 1e-4
     latent_dim: int = 64
-    diff_T: int = 200
+    diff_t: int = 200
     eval_samples: int = 10
     seed: int = 0
 
@@ -80,7 +80,7 @@ class CondDiffusionPreset:
     denoiser: str = "kan_fet_all_node"
     seq_len: int = 96
     pred_len: int = 24
-    diff_T: int = 250
+    diff_t: int = 250
     batch_size: int = 64
     epochs: int = 10
     lr: float = 2e-4

@@ -28,8 +28,18 @@ import jax
 import jax.numpy as jnp
 
 from fetode_tpu.solvers.dopri5 import odeint_dopri5
+from fetode_tpu.solvers.rk_common import error_norm
 
 PyTree = Any
+
+
+def _seminorm(y_err, y0, y1, rtol, atol):
+    """Step control on (state, adjoint) only — the parameter-gradient
+    accumulator channels are integrals of already-controlled quantities and
+    need no error control of their own ("'Hey, that's not an ODE': Faster
+    ODE Adjoints via Seminorms", arXiv:2009.09457; see PAPERS.md).  Cuts
+    backward-pass step counts substantially on parameter-heavy fields."""
+    return error_norm(y_err[:2], y0[:2], y1[:2], rtol, atol)
 
 
 def odeint_adjoint(func: Callable, y0: PyTree, ts: jax.Array, *args,
@@ -92,7 +102,8 @@ def odeint_adjoint(func: Callable, y0: PyTree, ts: jax.Array, *args,
             span = jnp.asarray([-t1, -t0], ts.dtype)
             aug_traj = odeint_dopri5(aug_dynamics, aug0, span, args,
                                      rtol=adjoint_rtol, atol=adjoint_atol,
-                                     max_steps=max_steps, mode="while")
+                                     max_steps=max_steps, mode="while",
+                                     norm_fn=_seminorm)
             aug1 = jax.tree_util.tree_map(lambda l: l[-1], aug_traj)
             _, a, g_args = aug1
             return (a, g_args, t_bar), None

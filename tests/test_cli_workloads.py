@@ -1,0 +1,50 @@
+"""CLI smoke tests for the remaining workloads (synthetic data paths)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fetode_tpu.cli import main
+
+
+def test_cli_ett_point(tmp_path):
+    r = main(["ett", "--out-dir", str(tmp_path), "--dataset", "nonexistent",
+              "--model", "point", "--context-len", "12", "--pred-len", "4",
+              "--epochs", "2", "--batch-size", "32", "--latent-dim", "8"])
+    assert np.isfinite(r["test_mse"])
+
+
+def test_cli_ett_diffusion(tmp_path):
+    r = main(["ett", "--out-dir", str(tmp_path), "--dataset", "nonexistent",
+              "--model", "kan_fet_diffusion", "--context-len", "12",
+              "--pred-len", "4", "--epochs", "1", "--batch-size", "32",
+              "--latent-dim", "8", "--diff-t", "4", "--eval-samples", "2"])
+    assert np.isfinite(r["test_mse"])
+
+
+def test_cli_cond_diffusion(tmp_path):
+    r = main(["cond_diffusion", "--out-dir", str(tmp_path),
+              "--dataset", "nonexistent", "--denoiser", "mlp",
+              "--seq-len", "12", "--pred-len", "4", "--diff-t", "4",
+              "--epochs", "1", "--batch-size", "32"])
+    assert np.isfinite(r["final_val"])
+
+
+def test_cli_timemmd_synthetic(tmp_path):
+    r = main(["timemmd", "--out-dir", str(tmp_path), "--domain", "Nonexistent",
+              "--context-len", "10", "--pred-len", "3", "--epochs", "1",
+              "--batch-size", "32"])
+    assert np.isfinite(r["test_mse"])
+
+
+def test_cli_mnist_synthetic(tmp_path):
+    r = main(["mnist", "--out-dir", str(tmp_path), "--epochs", "1",
+              "--kuramoto-steps", "2", "--batch-size", "64",
+              "--num-basis", "3"])
+    assert 0.0 <= r["test_acc"] <= 1.0
+    # boolean-style flag parsing (regression for the silent-drop bug)
+    from fetode_tpu.cli import _parse
+
+    args, ov = _parse(["timemmd", "--multimodal", "--epochs", "5"])
+    assert ov == {"multimodal": "true", "epochs": "5"}
