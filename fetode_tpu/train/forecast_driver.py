@@ -55,6 +55,23 @@ class ForecastRun:
     eval_samples: int = 10   # diffusion eval averaging
 
 
+def _chunked_mean(sum_fn, p, x, y, chunk: int = 512):
+    """Evaluate a jitted (sum, count) function over fixed-size chunks —
+    bounds device memory on large eval splits (pads the tail by reuse)."""
+    n = len(x)
+    if n <= chunk:
+        s, c = sum_fn(p, x, y)
+        return float(s) / float(c)
+    total, count = 0.0, 0
+    for i in range(0, n, chunk):
+        xs, ys = x[i:i + chunk], y[i:i + chunk]
+        # the tail chunk has its own shape -> one extra compile, once
+        s, c = sum_fn(p, xs, ys)
+        total += float(s)
+        count += int(c)
+    return total / count
+
+
 def prepare_windows(X: np.ndarray, y: np.ndarray, run: ForecastRun):
     """Chronological split, train-only standardisation, dense windows."""
     tr, va, te = split_time_series(len(X), run.train_frac, run.val_frac)
@@ -83,8 +100,11 @@ def train_point_forecaster(spec: LatentODEForecasterSpec, X, y,
     epoch_fn = make_minibatch_epoch(loss_fn, tx)
 
     @jax.jit
+    def _mse_chunk(p, x, y):
+        return jnp.sum((latent_ode_forecast(p, spec, x) - y) ** 2), y.size
+
     def eval_mse(p, x, y):
-        return jnp.mean((latent_ode_forecast(p, spec, x) - y) ** 2)
+        return _chunked_mean(_mse_chunk, p, x, y, chunk=512)
 
     xv, yv = map(jnp.asarray, windows["val"])
     xt, yt = map(jnp.asarray, windows["test"])
@@ -136,10 +156,14 @@ def train_diffusion_forecaster(spec: DiffusionForecasterSpec, X, y,
     epoch_fn = make_minibatch_epoch(loss_fn, tx)
 
     @jax.jit
-    def eval_sample_mse(p, x, y, k):
+    def _sample_mse_chunk(p, x, y, k):
         samples = diffusion_forecaster_sample(p, spec, sched, x, k,
                                               n_samples=run.eval_samples)
-        return jnp.mean((samples.mean(0) - y) ** 2)
+        return jnp.sum((samples.mean(0) - y) ** 2), y.size
+
+    def eval_sample_mse(p, x, y, k):
+        return _chunked_mean(lambda p, xs, ys: _sample_mse_chunk(p, xs, ys, k),
+                             p, x, y, chunk=256)
 
     xv, yv = map(jnp.asarray, windows["val"])
     xt, yt = map(jnp.asarray, windows["test"])
