@@ -200,10 +200,11 @@ def run_cond_diffusion(cfg, out_dir, plots):
     s = standardize_fit(X[tr])
     Xs = s.apply(X)
     data = {}
+    from fetode_tpu.data.native import window_gather
     for name, sl in (("train", tr), ("val", va), ("test", te)):
         past, _ = make_windows(Xs[sl], Xs[sl][:, -1], cfg.seq_len, cfg.pred_len)
-        fut = np.stack([Xs[sl][i + cfg.seq_len:i + cfg.seq_len + cfg.pred_len]
-                        for i in range(len(past))])
+        starts = np.arange(len(past), dtype=np.int64) + cfg.seq_len
+        fut = window_gather(Xs[sl], starts, cfg.pred_len)
         data[name] = (past, fut)
 
     spec = make_denoiser_spec(cfg.denoiser, d_in=Xs.shape[1],

@@ -76,15 +76,7 @@ def synthetic_ecg200(seed: int = 0, n_train: int = 64, n_test: int = 32,
 def batch_iterator(x, y, batch_size: int, *, seed: int = 0, drop_last: bool = True):
     """Pre-shuffled full-epoch batch tensor: (n_batches, B, ...) arrays ready
     for a `lax.scan` minibatch epoch (no Python-side DataLoader workers)."""
-    from fetode_tpu.data import native
+    from fetode_tpu.data.batching import epoch_batches
 
-    idx = native.shuffled_indices(len(x), seed)
-    n_batches = len(x) // batch_size if drop_last else -(-len(x) // batch_size)
-    xs, ys = [], []
-    for i in range(n_batches):
-        sel = idx[i * batch_size:(i + 1) * batch_size]
-        if len(sel) < batch_size:
-            sel = np.concatenate([sel, idx[: batch_size - len(sel)]])
-        xs.append(x[sel])
-        ys.append(y[sel])
-    return np.stack(xs), np.stack(ys)
+    return epoch_batches(x, y, batch_size=batch_size, seed=seed,
+                         drop_last=drop_last)

@@ -117,18 +117,10 @@ def make_windows(X: np.ndarray, y: np.ndarray, context_len: int,
 def window_batches(x_ctx: np.ndarray, y_fut: np.ndarray, batch_size: int,
                    *, seed: int = 0, drop_last: bool = True):
     """(n_batches, B, ...) stacked shuffled minibatches for a scan epoch."""
-    from fetode_tpu.data import native
+    from fetode_tpu.data.batching import epoch_batches
 
-    idx = native.shuffled_indices(len(x_ctx), seed)
-    nb = len(x_ctx) // batch_size if drop_last else -(-len(x_ctx) // batch_size)
-    bx, by = [], []
-    for i in range(nb):
-        sel = idx[i * batch_size:(i + 1) * batch_size]
-        if len(sel) < batch_size:
-            sel = np.concatenate([sel, idx[: batch_size - len(sel)]])
-        bx.append(x_ctx[sel])
-        by.append(y_fut[sel])
-    return np.stack(bx), np.stack(by)
+    return epoch_batches(x_ctx, y_fut, batch_size=batch_size, seed=seed,
+                         drop_last=drop_last)
 
 
 def synthetic_series(seed: int = 0, n: int = 400, n_features: int = 4):

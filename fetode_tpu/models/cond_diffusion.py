@@ -115,11 +115,10 @@ def node_encoder_apply(params, cfg: NodeEncoderCfg, past):
     z0 = x_seq[:, 0] @ params["z0_w"].T + params["z0_b"]
 
     def rhs(t, z):
+        from fetode_tpu.nn.mlp import layer_norm
+
         x_t = linear_interp(t_grid, x_seq, t)                  # (B, P)
-        mu = z.mean(-1, keepdims=True)
-        var = ((z - mu) ** 2).mean(-1, keepdims=True)
-        zn = (z - mu) * jax.lax.rsqrt(var + 1e-5) * params["ln_scale"] \
-            + params["ln_bias"]
+        zn = layer_norm(z, params["ln_scale"], params["ln_bias"])
         return mlp_apply(params["field"], cfg.field_mlp,
                          jnp.concatenate([zn, x_t], axis=-1))
 

@@ -115,17 +115,13 @@ def kanfet_node_init(key, spec: KanFetNODESpec, dtype=jnp.float32):
     return params
 
 
-def _layer_norm(x, scale, bias, eps=1e-5):
-    mu = x.mean(-1, keepdims=True)
-    var = ((x - mu) ** 2).mean(-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
-
-
 def kanfet_node_field(params, spec: KanFetNODESpec, t, h):
+    from fetode_tpu.nn.mlp import layer_norm
+
     if spec.field == "plain":
         phi = mixer_apply(params["field_mixer"], h)
         return phi @ params["proj_w"].T + params["proj_b"]
-    h = _layer_norm(h, params["ln_scale"], params["ln_bias"])
+    h = layer_norm(h, params["ln_scale"], params["ln_bias"])
     h = spec.h_bound * jnp.tanh(h / spec.h_bound)
     phi = mixer_apply(params["field_mixer"], h)
     z, _ = kan_apply(params["kan"], spec.kan_cfg, phi)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from fetode_tpu.ops.bsplines import bspline_basis, curve2coeff, make_grid, refine_grid
 from fetode_tpu.ops.ferro import (
     FerroConfig,
+    FerroParams,
     ferro_basis,
     ferro_init,
     ferro_state_init,
@@ -179,8 +180,6 @@ def kan_linear_apply(
         if state is None:
             raise ValueError("ferro branch enabled: pass a FerroState "
                              "(use kan_linear_state / kanfet_state_init)")
-        from fetode_tpu.ops.ferro import FerroParams
-
         fp = FerroParams(**params["ferro"])
         fstate = jax.tree_util.tree_map(
             lambda l: l.reshape((x2.shape[0],) + l.shape[len(lead):]), state)

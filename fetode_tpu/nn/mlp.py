@@ -52,6 +52,14 @@ def mlp_apply(params, cfg: MLPConfig, x):
     return _ACTS[cfg.final_activation](x)
 
 
+def layer_norm(x, scale, bias, eps: float = 1e-5):
+    """Plain layer norm over the last axis (shared by the ODE fields that
+    normalise their latent state before basis evaluation)."""
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
 class ResidualHeadConfig(NamedTuple):
     """y + W2 GELU(W1 y): 2 -> bottleneck -> 2 refinement head."""
 

@@ -11,11 +11,16 @@ from typing import Any, Callable
 
 import jax
 
+from fetode_tpu.solvers.adjoint import odeint_adjoint  # noqa: F401
 from fetode_tpu.solvers.dopri5 import Dopri5Stats, odeint_dopri5  # noqa: F401
 from fetode_tpu.solvers.fixed import (  # noqa: F401
     integrate_final,
     odeint_fixed,
     rollout_discrete,
+)
+from fetode_tpu.solvers.stateful import (  # noqa: F401
+    integrate_final_stateful,
+    odeint_fixed_stateful,
 )
 from fetode_tpu.solvers.tableaux import FIXED_TABLEAUX  # noqa: F401
 
@@ -47,9 +52,3 @@ def odeint(
         return odeint_fixed(func, y0, ts, *args, method=method, **options)
     raise ValueError(f"unknown method {method!r}; "
                      f"choose from {ADAPTIVE_METHODS + FIXED_METHODS}")
-
-from fetode_tpu.solvers.stateful import (  # noqa: F401
-    integrate_final_stateful,
-    odeint_fixed_stateful,
-)
-from fetode_tpu.solvers.adjoint import odeint_adjoint  # noqa: F401

@@ -24,7 +24,6 @@ with a mask ``t_step < ts <= t_new`` — no host sync, no dynamic shapes.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax

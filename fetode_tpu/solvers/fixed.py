@@ -12,7 +12,6 @@ memory reverse passes instead of PyTorch's O(T)-graph backprop.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax

@@ -20,10 +20,6 @@ def _cast(a, leaf):
     return a.astype(leaf.dtype)
 
 
-def tree_add(x: PyTree, y: PyTree) -> PyTree:
-    return jax.tree_util.tree_map(jnp.add, x, y)
-
-
 def tree_scale(a, x: PyTree) -> PyTree:
     return jax.tree_util.tree_map(lambda v: _cast(a, v) * v, x)
 

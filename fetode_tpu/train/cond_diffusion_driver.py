@@ -52,13 +52,9 @@ class CondDiffusionRun:
 
 
 def _batches(x, y, batch_size, seed):
-    batch_size = min(batch_size, len(x))   # short splits: shrink the batch
-    rng = np.random.default_rng(seed)
-    idx = rng.permutation(len(x))
-    nb = max(len(x) // batch_size, 1)
-    sel = idx[: nb * batch_size]
-    return (x[sel].reshape(nb, batch_size, *x.shape[1:]),
-            y[sel].reshape(nb, batch_size, *y.shape[1:]))
+    from fetode_tpu.data.batching import epoch_batches
+
+    return epoch_batches(x, y, batch_size=batch_size, seed=seed)
 
 
 def train_conditional_diffusion(spec: CondDenoiserSpec, past_fut,
