@@ -35,3 +35,9 @@ def rng():
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(0)
+
+# Persistent compilation cache: jit-compile time dominates the suite
+# (~19 min cold); cached reruns skip recompilation of unchanged programs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
