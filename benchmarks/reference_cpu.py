@@ -162,47 +162,92 @@ def dopri5(f, y0, ts, rtol=1e-7, atol=1e-9, max_steps=2000):
 
 
 def main():
-    n_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-    # ground truth via scipy (as the reference does)
+    """Run the reference training loop on torch-CPU.
+
+    Usage: python reference_cpu.py [n_epochs] [--curve out.jsonl] [--test-every K]
+
+    With --curve, records the convergence curve the reference's own loop
+    tracks (train_kanfet_node_predprey.py:252-262): per-epoch train MSE on
+    t in [0, 3.5] (35 pts) and, every K epochs, the extrapolation test MSE
+    over trajectory points 35..140 of t in [0, 14] vs scipy truth. The
+    JSONL is written incrementally so a partial run still yields the curve.
+    """
+    args = sys.argv[1:]
+    n_epochs = int(args[0]) if args and not args[0].startswith("-") else 30
+    curve_path = None
+    test_every = 10
+    if "--curve" in args:
+        curve_path = args[args.index("--curve") + 1]
+    if "--test-every" in args:
+        test_every = int(args[args.index("--test-every") + 1])
+
+    # ground truth via scipy (as the reference does), on the FULL horizon
     from scipy.integrate import odeint as scipy_odeint
 
     a, b, c, d = 1.5, 1.0, 3.0, 1.0
-    ts_learn = np.linspace(0, 3.5, 35)
-    truth = scipy_odeint(lambda s, t: [a * s[0] - b * s[0] * s[1],
-                                       d * s[0] * s[1] - c * s[1]],
-                         [1.0, 1.0], ts_learn)
-    target = torch.tensor(truth, dtype=torch.float32)
+    tf, tf_learn, n_t, n_train = 14.0, 3.5, 140, 35
+    ts_full = np.linspace(0, tf, n_t)
+    ts_learn = np.linspace(0, tf_learn, n_train)
+    truth_full = scipy_odeint(lambda s, t: [a * s[0] - b * s[0] * s[1],
+                                            d * s[0] * s[1] - c * s[1]],
+                              [1.0, 1.0], ts_full)
+    truth_learn = scipy_odeint(lambda s, t: [a * s[0] - b * s[0] * s[1],
+                                             d * s[0] * s[1] - c * s[1]],
+                               [1.0, 1.0], ts_learn)
+    target = torch.tensor(truth_learn, dtype=torch.float32)
+    target_full = torch.tensor(truth_full, dtype=torch.float32)
 
     model = KANFET([2, 10, 2], grid_size=5)
     opt = torch.optim.Adam(model.parameters(), lr=2e-3)
     X0 = torch.tensor([[1.0, 1.0]])
     tts = torch.tensor(ts_learn, dtype=torch.float32)
+    tts_full = torch.tensor(ts_full, dtype=torch.float32)
 
     def rhs(t, X):
         return model(X)
 
-    # warmup epoch (excluded)
+    def test_mse():
+        with torch.no_grad():
+            pred_full = dopri5(rhs, X0, tts_full, max_steps=8000)
+        return float(((pred_full[n_train:, 0, :] - target_full[n_train:]) ** 2).mean())
+
+    # warmup epoch (excluded from timing)
     opt.zero_grad()
     pred = dopri5(rhs, X0, tts)
     loss = ((pred[:, 0, :] - target) ** 2).mean()
     loss.backward()
     opt.step()
 
-    t0 = time.perf_counter()
-    for _ in range(n_epochs):
+    curve_fh = open(curve_path, "w") if curve_path else None
+    train_wall = 0.0
+    best_train = float("inf")
+    for epoch in range(1, n_epochs + 1):
+        t0 = time.perf_counter()
         opt.zero_grad()
         pred = dopri5(rhs, X0, tts)
         loss = ((pred[:, 0, :] - target) ** 2).mean()
         loss.backward()
         opt.step()
-    wall = time.perf_counter() - t0
+        train_wall += time.perf_counter() - t0
+        best_train = min(best_train, float(loss.detach()))
+        if curve_fh:
+            rec = {"epoch": epoch, "train_mse": float(loss.detach())}
+            if epoch % test_every == 0 or epoch == n_epochs:
+                rec["test_mse_extrap"] = test_mse()
+            curve_fh.write(json.dumps(rec) + "\n")
+            curve_fh.flush()
+    if curve_fh:
+        curve_fh.close()
 
     result = {
-        "sec_per_epoch": wall / n_epochs,
+        "sec_per_epoch": train_wall / n_epochs,
         "n_epochs": n_epochs,
         "final_loss": float(loss),
+        "best_train_loss": best_train,
+        "final_test_mse_extrap": test_mse(),
         "config": "predprey KANFET[2,10,2] grid5 dopri5 rtol1e-7 atol1e-9 Adam 2e-3 (torch CPU)",
         "threads": torch.get_num_threads(),
+        "cpu_count": os.cpu_count(),
     }
     out_path = os.path.join(os.path.dirname(__file__), "baseline_cpu.json")
     with open(out_path, "w") as fh:
