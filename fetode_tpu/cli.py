@@ -87,22 +87,20 @@ def run_ecg(cfg, out_dir, plots):
         data = synthetic_ecg200()
     T = data[0].shape[1]
 
-    import jax
-
     if cfg.model == "kanfet_node":
         spec = M.KanFetNODESpec(T=T, latent_dim=cfg.latent_dim,
                                 num_basis=cfg.num_basis, solver=cfg.solver,
                                 rtol=cfg.rtol, atol=cfg.atol)
         init_fn = lambda k: M.kanfet_node_init(k, spec)
-        apply_fn = lambda p, x: M.kanfet_node_apply(p, spec, x)
+        apply_fn = lambda p, x, key: M.kanfet_node_apply(p, spec, x)
     elif cfg.model == "kanfet_mlp_node":
         spec = M.KanFetMLPNODESpec(T=T, latent_dim=cfg.latent_dim,
                                    num_basis=cfg.num_basis, solver=cfg.solver,
                                    rtol=cfg.rtol, atol=cfg.atol,
                                    noise_std=cfg.noise_std)
-        nk = jax.random.PRNGKey(1234) if cfg.noise_std > 0 else None
         init_fn = lambda k: M.kanfet_mlp_node_init(k, spec)
-        apply_fn = lambda p, x: M.kanfet_mlp_node_apply(p, spec, x, noise_key=nk)
+        apply_fn = lambda p, x, key: M.kanfet_mlp_node_apply(
+            p, spec, x, noise_key=key if cfg.noise_std > 0 else None)
     elif cfg.model == "fepa_rnn":
         from fetode_tpu.nn.rnn import (FerroKANRNNConfig, ferro_kan_rnn_apply,
                                        ferro_kan_rnn_init)
@@ -110,22 +108,22 @@ def run_ecg(cfg, out_dir, plots):
         rcfg = FerroKANRNNConfig(hidden_size=cfg.latent_dim,
                                  num_basis=cfg.num_basis,
                                  noise_std=cfg.noise_std)
-        nk = jax.random.PRNGKey(1234) if cfg.noise_std > 0 else None
         init_fn = lambda k: ferro_kan_rnn_init(k, rcfg)
-        apply_fn = lambda p, x: ferro_kan_rnn_apply(p, rcfg, x, noise_key=nk)
+        apply_fn = lambda p, x, key: ferro_kan_rnn_apply(
+            p, rcfg, x, noise_key=key if cfg.noise_std > 0 else None)
     elif cfg.model == "digital_rnn":
         from fetode_tpu.nn.rnn import (DigitalRNNConfig, digital_rnn_apply,
                                        digital_rnn_init)
 
         rcfg = DigitalRNNConfig(hidden_size=cfg.latent_dim)
         init_fn = lambda k: digital_rnn_init(k, rcfg)
-        apply_fn = lambda p, x: digital_rnn_apply(p, rcfg, x)
+        apply_fn = lambda p, x, key: digital_rnn_apply(p, rcfg, x)
     elif cfg.model == "node_rnn":
         spec = M.NodeRNNSpec(hidden_size=cfg.latent_dim,
                              num_basis=cfg.num_basis, noise_std=cfg.noise_std)
-        nk = jax.random.PRNGKey(1234) if cfg.noise_std > 0 else None
         init_fn = lambda k: M.node_rnn_init(k, spec)
-        apply_fn = lambda p, x: M.node_rnn_apply(p, spec, x, noise_key=nk)
+        apply_fn = lambda p, x, key: M.node_rnn_apply(
+            p, spec, x, noise_key=key if cfg.noise_std > 0 else None)
     else:
         raise SystemExit(f"unknown ECG model {cfg.model!r}")
 

@@ -301,8 +301,14 @@ def node_rnn_apply(params, spec: NodeRNNSpec, x, *, noise_key=None):
     if x.ndim == 2:
         x = x[..., None]
     B = x.shape[0]
-    hT = jax.vmap(lambda xb: node_rnn_encode(params, spec, xb,
-                                             noise_key=noise_key))(x)
+    if noise_key is not None:
+        # independent device noise per sample (the reference's randn_like on
+        # a batched tensor draws per-sample noise)
+        hT = jax.vmap(lambda xb, k: node_rnn_encode(params, spec, xb,
+                                                    noise_key=k))(
+            x, jax.random.split(noise_key, B))
+    else:
+        hT = jax.vmap(lambda xb: node_rnn_encode(params, spec, xb))(x)
     h = jnp.zeros((B, spec.hidden_size), x.dtype)
     cstate = ferro_kan_cell_state((B,), spec.cell_cfg, x.dtype)
     h1, _ = ferro_kan_cell_apply(params["cell"], spec.cell_cfg, hT, h, cstate)

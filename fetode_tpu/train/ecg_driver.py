@@ -3,8 +3,17 @@
 Capability parity with the trainer functions of ``train_ecg.py`` /
 ``train_ecg_kan_fet_nn_ode.py`` (AdamW, CE loss, grad clip 1.0, accuracy
 eval, best-state tracking) and the noise-robustness comparison harness of
-``compare_noise_ecg.py`` (same model trained with noise_std 0 vs >0,
-accuracy curves side by side).
+``compare_noise_ecg.py`` (same model trained at several device-noise
+levels and seeds, accuracy curves side by side).
+
+Device noise is *fresh per training step*: the reference draws new
+Gaussian noise on every basis forward (``ferro_class.py:309-310``,
+``:508-509`` — ``torch.randn_like(...).detach()``); here an explicit PRNG
+key is split per minibatch step inside the jitted epoch scan, so no two
+steps ever observe the same perturbation.  Evaluation averages logits over
+``ECGRun.eval_noise_draws`` independent noise draws (a Monte-Carlo estimate
+of the analog device's expected accuracy); for noiseless models the key is
+ignored and the average is exact.
 
 TPU-native: a whole epoch of minibatches is one jitted scan; evaluation is
 one jitted batched forward.
@@ -13,8 +22,8 @@ one jitted batched forward.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from typing import Callable, Optional
+from dataclasses import dataclass
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +44,7 @@ class ECGRun:
     grad_clip: float = 1.0
     seed: int = 0
     log_every: int = 10
+    eval_noise_draws: int = 1   # logits averaged over this many noise keys
 
 
 def cross_entropy(logits, labels):
@@ -54,25 +64,33 @@ def train_ecg_model(
 ):
     """Generic ECG trainer.
 
-    init_fn(key) -> params; apply_fn(params, x) -> logits.
+    init_fn(key) -> params; apply_fn(params, x, key) -> logits, where
+    ``key`` is a PRNG key consumed for device noise when the model is
+    noisy (fresh per training step) and ignored otherwise.
     data = (x_train, y_train, x_test, y_test) numpy arrays.
     Returns (best_params, history).
     """
     x_train, y_train, x_test, y_test = data
     key = jax.random.PRNGKey(run.seed)
-    params = init_fn(key)
+    key, init_key, noise_base, eval_base = jax.random.split(key, 4)
+    params = init_fn(init_key)
     tx = make_optimizer(run.lr, kind="adamw", weight_decay=run.weight_decay,
                         grad_clip=run.grad_clip, params=params)
     state = init_state(params, tx)
 
-    def loss_fn(p, xb, yb):
-        return cross_entropy(apply_fn(p, xb), yb)
+    def loss_fn(p, k, xb, yb):
+        return cross_entropy(apply_fn(p, xb, k), yb)
 
-    epoch_fn = make_minibatch_epoch(loss_fn, tx)
+    epoch_fn = make_minibatch_epoch(loss_fn, tx, keyed=True)
+
+    # Fixed eval keys (drawn once): evaluation is a consistent estimate of
+    # the same "device instance" across epochs; vary run.seed for repeats.
+    eval_keys = jax.random.split(eval_base, run.eval_noise_draws)
 
     @jax.jit
     def eval_acc(p, x, y):
-        return accuracy(apply_fn(p, x), y)
+        logits = jnp.mean(jax.vmap(lambda k: apply_fn(p, x, k))(eval_keys), 0)
+        return accuracy(logits, y)
 
     x_test_j = jnp.asarray(x_test)
     y_test_j = jnp.asarray(y_test)
@@ -85,7 +103,8 @@ def train_ecg_model(
     for ep in range(run.epochs):
         bx, by = batch_iterator(x_train, y_train, run.batch_size,
                                 seed=run.seed + ep)
-        state, losses = epoch_fn(state, (jnp.asarray(bx), jnp.asarray(by)))
+        ep_key = jax.random.fold_in(noise_base, ep)
+        state, losses = epoch_fn(state, ep_key, (jnp.asarray(bx), jnp.asarray(by)))
         tr_acc = float(eval_acc(state.params, x_train_j, y_train_j))
         te_acc = float(eval_acc(state.params, x_test_j, y_test_j))
         history["loss"].append(float(losses.mean()))
@@ -106,19 +125,31 @@ def compare_noise(
     data,
     noise_stds=(0.0, 0.2),
     run: ECGRun = ECGRun(),
+    seeds=(0,),
     log=print,
 ):
-    """Train the same architecture at several device-noise levels and
-    report the accuracy trade-off (the compare_noise_ecg.py capability —
-    the analog-device fault-injection study, SURVEY.md §5.3)."""
+    """Train the same architecture at several device-noise levels x seeds
+    and report the accuracy trade-off (the compare_noise_ecg.py capability
+    — the analog-device fault-injection study, SURVEY.md §5.3).
+
+    Returns ``{std: {seed: history}}``; the logged summary gives
+    mean +/- spread of best test accuracy per noise level.
+    """
     results = {}
     for std in noise_stds:
-        if log is not None:
-            log(f"--- noise_std = {std} ---")
-        init_fn, apply_fn = make_model(std)
-        _, hist = train_ecg_model(init_fn, apply_fn, data, run, log)
-        results[std] = hist
-    summary = {std: h["best_test_acc"] for std, h in results.items()}
+        per_seed = {}
+        for seed in seeds:
+            if log is not None:
+                log(f"--- noise_std = {std}, seed = {seed} ---")
+            init_fn, apply_fn = make_model(std)
+            run_s = ECGRun(**{**run.__dict__, "seed": seed})
+            _, hist = train_ecg_model(init_fn, apply_fn, data, run_s, log)
+            per_seed[seed] = hist
+        results[std] = per_seed
     if log is not None:
-        log(f"noise robustness summary (best test acc): {summary}")
+        for std, per_seed in results.items():
+            accs = np.asarray([h["best_test_acc"] for h in per_seed.values()])
+            log(f"noise_std {std}: best test acc "
+                f"{accs.mean()*100:.1f}% +/- {accs.std()*100:.1f}% "
+                f"(seeds {list(per_seed)})")
     return results

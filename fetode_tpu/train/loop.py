@@ -60,19 +60,44 @@ def make_epoch_scanner(loss_fn: Callable, tx, n_epochs_per_call: int) -> Callabl
     return run
 
 
-def make_minibatch_epoch(loss_fn: Callable, tx) -> Callable:
+def make_minibatch_epoch(loss_fn: Callable, tx, *, keyed: bool = False) -> Callable:
     """Jit one function that scans a pre-batched epoch of minibatches.
 
     ``fn(state, batches) -> (state, losses)`` where every leaf of
     ``batches`` has leading axis (n_batches, batch_size, ...).
+
+    With ``keyed=True`` the loss takes a PRNG key —
+    ``loss_fn(params, key, *batch)`` — and the epoch function becomes
+    ``fn(state, key, batches)``: the key is split so EVERY training step
+    observes a fresh, independent key.  This is how stochastic
+    per-evaluation device noise (the reference's
+    ``torch.randn_like(...).detach()`` on every basis forward,
+    ``ferro_class.py:309-310``) is threaded without hidden global RNG.
     """
-    step = make_train_step(loss_fn, tx)
+    if not keyed:
+        step = make_train_step(loss_fn, tx)
+
+        @jax.jit
+        def run(state: TrainState, batches):
+            def body(s, batch):
+                s, loss = step(s, *batch)
+                return s, loss
+            return jax.lax.scan(body, state, batches)
+
+        return run
+
+    step = make_train_step(lambda p, key, *batch: loss_fn(p, key, *batch), tx)
 
     @jax.jit
-    def run(state: TrainState, batches):
-        def body(s, batch):
-            s, loss = step(s, *batch)
-            return s, loss
-        return jax.lax.scan(body, state, batches)
+    def run_keyed(state: TrainState, key, batches):
+        n_batches = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        keys = jax.random.split(key, n_batches)
 
-    return run
+        def body(s, key_batch):
+            k, batch = key_batch
+            s, loss = step(s, k, *batch)
+            return s, loss
+
+        return jax.lax.scan(body, state, (keys, batches))
+
+    return run_keyed

@@ -122,7 +122,7 @@ def test_short_training_beats_chance():
     def init_fn(k):
         return kanfet_node_init(k, spec)
 
-    def apply_fn(p, x):
+    def apply_fn(p, x, key):
         return kanfet_node_apply(p, spec, x)
 
     run = ECGRun(epochs=15, batch_size=8, log_every=100)
@@ -141,16 +141,55 @@ def test_noise_comparison_harness():
         def init_fn(k):
             return kanfet_mlp_node_init(k, spec)
 
-        key_holder = jax.random.PRNGKey(123)
-
-        def apply_fn(p, x):
-            nk = key_holder if std > 0 else None
+        def apply_fn(p, x, key):
+            nk = key if std > 0 else None
             return kanfet_mlp_node_apply(p, spec, x, noise_key=nk)
 
         return init_fn, apply_fn
 
     results = compare_noise(make_model, data, noise_stds=(0.0, 0.2),
-                            run=ECGRun(epochs=3, batch_size=8), log=None)
+                            run=ECGRun(epochs=3, batch_size=8),
+                            seeds=(0, 1), log=None)
     assert set(results) == {0.0, 0.2}
-    for hist in results.values():
-        assert np.isfinite(hist["loss"]).all()
+    for per_seed in results.values():
+        assert set(per_seed) == {0, 1}
+        for hist in per_seed.values():
+            assert np.isfinite(hist["loss"]).all()
+
+
+def test_device_noise_fresh_per_step():
+    """Two training steps must observe DIFFERENT noise draws (the frozen-key
+    bug regression test): with params held fixed, the noisy loss evaluated
+    under the keys the epoch scanner feeds to step 0 and step 1 differs,
+    while the same key reproduces bit-identically."""
+    spec = KanFetMLPNODESpec(T=24, latent_dim=8, num_basis=3, ode_hidden=8,
+                             solver="rk4", n_steps=4, noise_std=0.3)
+    key = jax.random.PRNGKey(7)
+    p = kanfet_mlp_node_init(key, spec)
+    x = jax.random.normal(key, (4, 24))
+    k0, k1 = jax.random.split(jax.random.PRNGKey(0))
+    out0 = kanfet_mlp_node_apply(p, spec, x, noise_key=k0)
+    out0b = kanfet_mlp_node_apply(p, spec, x, noise_key=k0)
+    out1 = kanfet_mlp_node_apply(p, spec, x, noise_key=k1)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(out0b))
+    assert not np.allclose(np.asarray(out0), np.asarray(out1))
+
+
+def test_keyed_epoch_scanner_splits_keys():
+    """make_minibatch_epoch(keyed=True) must feed a fresh key to every
+    minibatch step — the per-step losses of a key-dependent loss must all
+    differ."""
+    import optax
+
+    from fetode_tpu.train.loop import init_state, make_minibatch_epoch
+
+    def loss_fn(p, key, xb, yb):
+        return jnp.sum(p * 0.0) + jax.random.uniform(key, ())
+
+    tx = optax.sgd(1e-3)
+    params = jnp.zeros((2,))
+    state = init_state(params, tx)
+    epoch_fn = make_minibatch_epoch(loss_fn, tx, keyed=True)
+    batches = (jnp.zeros((5, 3)), jnp.zeros((5, 3)))
+    _, losses = epoch_fn(state, jax.random.PRNGKey(3), batches)
+    assert len(set(np.asarray(losses).tolist())) == 5, losses
