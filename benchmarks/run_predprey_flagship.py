@@ -1,0 +1,88 @@
+"""Flagship predprey 10k-epoch runs: stability + step-budget ablation.
+
+Reruns the north-star configuration (train_kanfet_node_predprey.py: KANFET
+[2,10,2], dopri5, Adam 2e-3, 10k epochs) under the round-2 driver knobs and
+records, per config: final train MSE, FINAL-epoch extrapolation test MSE
+(the stable-extrapolation criterion — not just a best snapshot), best-crit
+snapshot test MSE, wall seconds, epochs/sec, and the step-budget history.
+
+Usage: python benchmarks/run_predprey_flagship.py [config ...]
+  configs: baseline reg reg_val schedule flagship (default: all)
+Writes benchmarks/predprey_flagship_ablation.json (and updates
+benchmarks/predprey_10k_run.json from the 'flagship' config).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from fetode_tpu.models.predprey import PredPreyTask, generate_data, predict
+from fetode_tpu.train.predprey_driver import PredPreyRun, train_predprey
+
+CONFIGS = {
+    "baseline": dict(),
+    "reg": dict(reg_lambda=1e-4),
+    "reg_val": dict(reg_lambda=1e-4, val_points=5),
+    "schedule": dict(step_budget_schedule=True),
+    "flagship": dict(reg_lambda=1e-4, step_budget_schedule=True),
+}
+
+
+def run_config(name, kw, epochs=10_000):
+    run = PredPreyRun(epochs=epochs, **kw)
+    params, hist = train_predprey(run, log=None)
+
+    # Best-params extrapolation MSE under the tight eval solver.
+    task = run.task
+    ts, _, truth = generate_data(task)
+    eval_spec = run.spec._replace(max_steps=4 * run.spec.max_steps,
+                                  solver_mode="while")
+    pred = predict(params, eval_spec, jnp.asarray([task.x0, task.y0]), ts)
+    best_test = float(jnp.mean((pred[task.n_train:] - truth[task.n_train:]) ** 2))
+
+    out = {
+        "final_train": hist["train"][-1],
+        "final_test_extrap": hist["test"][-1],
+        "best_snapshot_test_extrap": best_test,
+        "min_test_extrap": min(hist["test"]),
+        "wall_seconds": hist["wall_seconds"],
+        "epochs_per_sec": hist["epochs_per_sec"],
+        "budgets": sorted(set(hist["budget"])),
+        "epochs": epochs,
+        "knobs": kw,
+        "test_curve": {str(e): t for e, t in
+                       zip(hist["epoch"][::10], hist["test"][::10])},
+    }
+    print(name, json.dumps({k: out[k] for k in
+                            ("final_train", "final_test_extrap",
+                             "best_snapshot_test_extrap", "epochs_per_sec",
+                             "budgets")}))
+    return out
+
+
+def main():
+    names = sys.argv[1:] or list(CONFIGS)
+    here = os.path.dirname(__file__)
+    path = os.path.join(here, "predprey_flagship_ablation.json")
+    results = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            results = json.load(fh)
+    for name in names:
+        results[name] = run_config(name, CONFIGS[name])
+        with open(path, "w") as fh:
+            json.dump(results, fh, indent=2)
+    if "flagship" in results:
+        r = results["flagship"]
+        with open(os.path.join(here, "predprey_10k_run.json"), "w") as fh:
+            json.dump({"config": "flagship (reg 1e-4 + step-budget schedule)",
+                       **r}, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()

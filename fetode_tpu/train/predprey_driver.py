@@ -2,14 +2,30 @@
 
 Mirrors the reference's published configuration
 (``train_kanfet_node_predprey.py:20-27``: lr 2e-3, Adam, 10k epochs,
-KANFET [2,10,2] grid 5, dopri5) as a scan-of-epochs jit.
+KANFET [2,10,2] grid 5, dopri5) as a scan-of-epochs jit, plus three
+things the reference's loop lacks:
+
+* **KAN regularization** (``reg_lambda``): the L1+entropy penalty of
+  ``efficientkan.py:254-270`` applied to the training loss — tames the
+  field outside the data window so the *final* model extrapolates stably
+  instead of only snapshot-selected intermediates.
+* **Validation-window best-model selection** (``val_points``): the last
+  ``val_points`` points of the reference's 35-point learn window are held
+  out of the fit and used as the best-snapshot criterion — a principled
+  selection signal the training loop can act on without peeking at the
+  extrapolation region.
+* **Adaptive step-budget schedule** (``step_budget_schedule``): training
+  starts with a small dopri5 step budget (cheap scan) and escalates
+  toward ``spec.max_steps`` only when a cheap post-call probe shows the
+  solver near budget exhaustion.  Measured accepted-step counts are 18-35
+  at init and ~86 late in training, so most epochs never need the full
+  256-step scan the flat config pays for.
 """
 
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from typing import Optional
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +38,7 @@ from fetode_tpu.models.predprey import (
     predprey_init,
     trajectory_loss,
 )
+from fetode_tpu.nn.kan import kan_regularization
 from fetode_tpu.train.loop import init_state, make_epoch_scanner
 from fetode_tpu.train.optim import make_optimizer
 
@@ -41,10 +58,25 @@ class PredPreyRun:
     # adaptive step budget and kill gradients): clip + cosine decay.
     grad_clip: float = 1.0
     cosine_decay: bool = True
+    # Extrapolation stability / model selection (see module docstring).
+    reg_lambda: float = 0.0
+    val_points: int = 0
+    # Step-budget schedule: ladder of max_steps budgets ending at
+    # spec.max_steps; escalates when a probe shows near-exhaustion.
+    step_budget_schedule: bool = False
+    budget_headroom: float = 0.75   # escalate when steps used > this frac
 
     def __post_init__(self):
         if self.spec is None:
             self.spec = PredPreyNODE.kanfet()
+
+
+def _budget_ladder(max_steps: int) -> list:
+    """E.g. 256 -> [64, 128, 256]; never below 32."""
+    ladder = [max_steps]
+    while ladder[0] // 2 >= 32:
+        ladder.insert(0, ladder[0] // 2)
+    return ladder[-3:]
 
 
 def train_predprey(run: PredPreyRun, log=print):
@@ -53,6 +85,11 @@ def train_predprey(run: PredPreyRun, log=print):
     ts, ts_learn, truth = generate_data(task, run.dtype)
     target_train = truth[: task.n_train]
     x0 = jnp.asarray([task.x0, task.y0], run.dtype)
+
+    # Optional held-out validation tail inside the learn window.
+    n_fit = task.n_train - run.val_points
+    ts_fit = ts_learn[:n_fit]
+    target_fit = target_train[:n_fit]
 
     params = predprey_init(jax.random.PRNGKey(run.seed), spec, run.dtype)
     lr = run.lr
@@ -63,10 +100,29 @@ def train_predprey(run: PredPreyRun, log=print):
                         params=params)
     state = init_state(params, tx)
 
-    def loss_fn(p, x0_, ts_, target_):
-        return trajectory_loss(p, spec, x0_, ts_, target_)
+    budgets = (_budget_ladder(spec.max_steps) if run.step_budget_schedule
+               and spec.method == "dopri5" else [spec.max_steps])
 
-    scanner = make_epoch_scanner(loss_fn, tx, run.epochs_per_call)
+    def make_scanner(budget):
+        spec_b = spec._replace(max_steps=budget)
+
+        def loss_fn(p, x0_, ts_, target_):
+            loss = trajectory_loss(p, spec_b, x0_, ts_, target_)
+            if run.reg_lambda > 0.0:
+                loss = loss + run.reg_lambda * kan_regularization(p, spec.kan)
+            return loss
+
+        return make_epoch_scanner(loss_fn, tx, run.epochs_per_call)
+
+    def make_probe(budget):
+        pspec = spec._replace(max_steps=budget, solver_mode="while")
+
+        @jax.jit
+        def probe(p):
+            _, stats = predict(p, pspec, x0, ts_fit, full_output=True)
+            return stats.n_accepted + stats.n_rejected, stats.success
+
+        return probe
 
     eval_spec = spec._replace(max_steps=4 * spec.max_steps, solver_mode="while")
 
@@ -75,22 +131,50 @@ def train_predprey(run: PredPreyRun, log=print):
         pred = predict(p, eval_spec, x0, ts)
         return jnp.mean((pred[task.n_train:] - truth[task.n_train:]) ** 2)
 
-    history = {"train": [], "test": [], "epoch": []}
+    @jax.jit
+    def val_loss(p):
+        pred = predict(p, eval_spec, x0, ts_learn)
+        return jnp.mean((pred[n_fit:] - target_train[n_fit:]) ** 2)
+
+    stage = 0
+    scanner = make_scanner(budgets[stage])
+    probe = make_probe(budgets[stage]) if len(budgets) > 1 else None
+
+    history = {"train": [], "test": [], "val": [], "epoch": [], "budget": []}
     best = (jnp.inf, state.params)
     n_calls = run.epochs // run.epochs_per_call
     t0 = time.perf_counter()
     for call in range(n_calls):
-        state, losses = scanner(state, x0, ts_learn, target_train)
+        state, losses = scanner(state, x0, ts_fit, target_fit)
         tr = float(losses[-1])
         history["train"].append(tr)
         history["epoch"].append((call + 1) * run.epochs_per_call)
+        history["budget"].append(budgets[stage])
         if run.eval_every_call:
             te = float(test_loss(state.params))
             history["test"].append(te)
-        if tr < best[0]:
-            best = (tr, state.params)
+        crit = tr
+        if run.val_points > 0:
+            va = float(val_loss(state.params))
+            history["val"].append(va)
+            crit = va
+        if crit < best[0]:
+            best = (crit, state.params)
+        # Escalate the step budget when the probe shows near-exhaustion
+        # (or the forward no longer reaches t_final at all).
+        if probe is not None and stage < len(budgets) - 1:
+            used, ok = probe(state.params)
+            if (not bool(ok)) or int(used) > run.budget_headroom * budgets[stage]:
+                stage += 1
+                scanner = make_scanner(budgets[stage])
+                probe = make_probe(budgets[stage]) if stage < len(budgets) - 1 else None
+                if log is not None:
+                    log(f"[budget] escalating max_steps -> {budgets[stage]} "
+                        f"(probe used {int(used)}, success={bool(ok)})")
         if log is not None:
             msg = f"epoch {history['epoch'][-1]:6d}  train {tr:.6f}"
+            if run.val_points > 0:
+                msg += f"  val {history['val'][-1]:.6f}"
             if run.eval_every_call:
                 msg += f"  test {history['test'][-1]:.6f}"
             log(msg)

@@ -87,3 +87,22 @@ def test_vmapped_trajectory_batching(key):
     single = predict(params, spec, x0s[2], ts)
     np.testing.assert_allclose(np.asarray(trajs[2]), np.asarray(single),
                                atol=1e-10)
+
+
+def test_driver_reg_val_and_budget_schedule():
+    """The upgraded driver knobs: KAN regularization in the loss, held-out
+    val-window best selection, and the step-budget ladder (history records
+    the active budget; escalation never exceeds spec.max_steps)."""
+    from fetode_tpu.train.predprey_driver import PredPreyRun, train_predprey
+
+    task = PredPreyTask(n_train=12, tf_learn=1.2, tf=2.4, n_t=24)
+    spec = PredPreyNODE.kanfet(layers_hidden=(2, 4, 2), ferro_num_basis=2,
+                               max_steps=128)
+    run = PredPreyRun(task=task, spec=spec, epochs=40, epochs_per_call=20,
+                      reg_lambda=1e-4, val_points=3,
+                      step_budget_schedule=True)
+    params, hist = train_predprey(run, log=None)
+    assert len(hist["val"]) == 2 and np.isfinite(hist["val"]).all()
+    assert hist["budget"][0] == 32            # ladder starts at max_steps//4
+    assert all(b <= 128 for b in hist["budget"])
+    assert hist["train"][-1] < hist["train"][0]
