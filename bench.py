@@ -1,14 +1,20 @@
-"""Benchmark: predprey KAN-FET NODE training throughput on one TPU chip.
+"""Benchmark: fetode_tpu training/sampling throughput on one TPU chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "epochs/sec", "vs_baseline": N}
 
-value        = full training epochs/sec (dopri5 solve + backprop + Adam,
-               the north-star config: KANFET[2,10,2] grid 5, rtol 1e-7,
-               atol 1e-9, 35-point trajectory fit — BASELINE.md).
+value        = full training epochs/sec on the north-star workload
+               (predprey KANFET[2,10,2] grid 5, dopri5 rtol 1e-7 atol 1e-9,
+               35-point trajectory fit, solve + backprop + Adam).
 vs_baseline  = speedup over the faithful PyTorch-CPU reference loop
                (benchmarks/reference_cpu.py; sec/epoch recorded in
                benchmarks/baseline_cpu.json).
+
+extra        = the broader measured table (BASELINE.md): batched-trajectory
+               inference and training, the ECG ferro model (f32 vs bf16
+               hysteresis state), and DDPM forecast sampling (the
+               reference's self-reported hotspots, train_kan_fet_ett.py:1154
+               and kan_diffusion_ett.py:749).
 """
 
 from __future__ import annotations
@@ -18,7 +24,15 @@ import os
 import time
 
 
-def main() -> None:
+def _sync(x):
+    """Force a host transfer before reading the clock — block_until_ready
+    returns early through the axon tunnel."""
+    import jax
+    import numpy as np
+    return float(np.asarray(jax.device_get(x)).ravel()[0])
+
+
+def bench_predprey():
     import jax
     import jax.numpy as jnp
 
@@ -29,6 +43,7 @@ def main() -> None:
         predprey_init,
         trajectory_loss,
     )
+    from fetode_tpu.models.predprey import predict as pp_predict
     from fetode_tpu.train.loop import init_state, make_epoch_scanner
     from fetode_tpu.train.optim import make_optimizer
 
@@ -50,31 +65,18 @@ def main() -> None:
     epochs_per_call = 200
     scanner = make_epoch_scanner(loss_fn, tx, epochs_per_call)
 
-    # Warm up / compile.  NOTE: block on a host transfer, not just
-    # block_until_ready — the axon tunnel reports readiness early.
-    state, losses = scanner(state, x0, ts_learn, target)
-    float(jax.device_get(losses)[-1])
-
-    # Timed region.
+    state, losses = scanner(state, x0, ts_learn, target)   # compile+warm
+    _sync(losses[-1])
     n_calls = 3
     t0 = time.perf_counter()
     for _ in range(n_calls):
         state, losses = scanner(state, x0, ts_learn, target)
-    final_loss = float(jax.device_get(losses)[-1])
+    final_loss = _sync(losses[-1])
     wall = time.perf_counter() - t0
     epochs_per_sec = n_calls * epochs_per_call / wall
 
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "benchmarks", "baseline_cpu.json")
-    baseline_sec_per_epoch = None
-    if os.path.exists(base_path):
-        with open(base_path) as fh:
-            baseline_sec_per_epoch = json.load(fh)["sec_per_epoch"]
-
     # Batched-trajectory inference throughput: vmap over initial conditions
     # (the TPU-native upgrade the reference's stateful buffers forbid).
-    from fetode_tpu.models.predprey import predict as pp_predict
-
     n_traj = 512
     x0s = jax.random.uniform(jax.random.PRNGKey(1), (n_traj, 2), jnp.float32,
                              0.5, 2.0)
@@ -85,17 +87,121 @@ def main() -> None:
         return jax.vmap(lambda x0: pp_predict(p, infer_spec, x0, ts))(x0s)
 
     out = solve_batch(state.params, x0s)
-    float(jax.device_get(out)[0, 0, 0])          # compile + sync
+    _sync(out[0, 0, 0])
     n_rep = 5
     t0 = time.perf_counter()
     for _ in range(n_rep):
         out = solve_batch(state.params, x0s)
-    float(jax.device_get(out)[0, 0, 0])
+    _sync(out[0, 0, 0])
     traj_per_sec = n_rep * n_traj / (time.perf_counter() - t0)
+    return epochs_per_sec, final_loss, traj_per_sec
+
+
+def bench_traj_training():
+    """Batched-trajectory TRAINING throughput (population of initial
+    conditions, full grad+Adam step) — the SURVEY §2.5(b) deliverable."""
+    from fetode_tpu.train.traj_driver import TrajParallelRun, train_traj_parallel
+
+    run = TrajParallelRun(n_traj=256, epochs=60, epochs_per_call=20)
+    _, hist = train_traj_parallel(run, log=None)   # includes compile call
+    # Re-run the timed portion now that it is warm.
+    t0 = time.perf_counter()
+    _, hist = train_traj_parallel(run, log=None)
+    wall = time.perf_counter() - t0
+    return run.n_traj * run.epochs / wall
+
+
+def bench_ecg_ferro(state_dtype=""):
+    """ECG ferro MLP-NODE training epochs/sec (full ECG200-sized epoch:
+    100 samples, batch 8, dopri5 latent solve + grad + AdamW)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fetode_tpu.models import ecg as M
+    from fetode_tpu.train.loop import init_state, make_minibatch_epoch
+    from fetode_tpu.train.optim import make_optimizer
+
+    spec = M.KanFetMLPNODESpec(T=96, state_dtype=state_dtype)
+    key = jax.random.PRNGKey(0)
+    params = M.kanfet_mlp_node_init(key, spec)
+    x = jax.random.normal(key, (96, 96), jnp.float32)   # 12 batches of 8
+    y = jax.random.bernoulli(key, 0.5, (96,)).astype(jnp.int32)
+    batches = (x.reshape(12, 8, 96), y.reshape(12, 8))
+
+    import optax
+
+    def loss_fn(p, k, xb, yb):
+        logits = M.kanfet_mlp_node_apply(p, spec, xb)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, yb).mean()
+
+    tx = make_optimizer(1e-3, kind="adamw", weight_decay=1e-4, grad_clip=1.0,
+                        params=params)
+    state = init_state(params, tx)
+    epoch_fn = make_minibatch_epoch(loss_fn, tx, keyed=True)
+
+    state, losses = epoch_fn(state, key, batches)   # compile
+    _sync(losses[-1])
+    n_epochs = 30
+    t0 = time.perf_counter()
+    for i in range(n_epochs):
+        state, losses = epoch_fn(state, jax.random.fold_in(key, i), batches)
+    _sync(losses[-1])
+    return n_epochs / (time.perf_counter() - t0)
+
+
+def bench_diffusion_sampling():
+    """DDPM forecast sampling (200 sequential denoise steps — the
+    reference's self-reported pain point, kan_diffusion_ett.py:749)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fetode_tpu.models.forecasting import (
+        DiffusionForecasterSpec,
+        diffusion_forecaster_init,
+        diffusion_forecaster_sample,
+    )
+
+    spec = DiffusionForecasterSpec(num_features=7, context_len=96,
+                                   pred_len=24, diff_T=200)
+    key = jax.random.PRNGKey(0)
+    params = diffusion_forecaster_init(key, spec)
+    B = 64
+    x_ctx = jax.random.normal(key, (B, spec.context_len, spec.num_features))
+
+    @jax.jit
+    def sample(p, x_ctx, k):
+        return diffusion_forecaster_sample(p, spec, x_ctx, k)
+
+    out = sample(params, x_ctx, key)
+    _sync(out[0, 0])
+    n_rep = 5
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        out = sample(params, x_ctx, jax.random.fold_in(key, i))
+    _sync(out[0, 0])
+    return n_rep * B / (time.perf_counter() - t0)
+
+
+def main() -> None:
+    import jax
+
+    epochs_per_sec, final_loss, traj_per_sec = bench_predprey()
+
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "baseline_cpu.json")
+    baseline_sec_per_epoch = None
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            baseline_sec_per_epoch = json.load(fh)["sec_per_epoch"]
 
     extra = {
         "final_train_loss": final_loss,
         "trajectories_per_sec_per_chip": round(traj_per_sec, 1),
+        "traj_training_traj_epochs_per_sec": round(bench_traj_training(), 1),
+        "ecg_ferro_epochs_per_sec": round(bench_ecg_ferro(), 2),
+        "ecg_ferro_bf16state_epochs_per_sec": round(
+            bench_ecg_ferro("bfloat16"), 2),
+        "diffusion_samples_per_sec": round(bench_diffusion_sampling(), 1),
         "baseline_cpu_sec_per_epoch": baseline_sec_per_epoch,
         "device": str(jax.devices()[0]),
     }
@@ -106,8 +212,12 @@ def main() -> None:
     if os.path.exists(run_path):
         with open(run_path) as fh:
             rec = json.load(fh)
-        extra["full_run_final_train_mse"] = rec["train"][-1]
-        extra["full_run_best_test_mse"] = min(rec["test"])
+        if "final_train" in rec:
+            extra["full_run_final_train_mse"] = rec["final_train"]
+            extra["full_run_best_test_mse"] = rec.get("min_test_extrap")
+        else:
+            extra["full_run_final_train_mse"] = rec["train"][-1]
+            extra["full_run_best_test_mse"] = min(rec["test"])
 
     result = {
         "metric": "predprey KANFET-NODE training throughput (dopri5 rtol1e-7, full epoch incl. grad+Adam)",

@@ -27,10 +27,41 @@ from fetode_tpu.train.predprey_driver import PredPreyRun, train_predprey
 CONFIGS = {
     "baseline": dict(),
     "reg": dict(reg_lambda=1e-4),
+    "reg3": dict(reg_lambda=1e-3),
     "reg_val": dict(reg_lambda=1e-4, val_points=5),
     "schedule": dict(step_budget_schedule=True),
     "flagship": dict(reg_lambda=1e-4, step_budget_schedule=True),
 }
+
+
+def run_traj_config(n_traj=64, epochs=3000):
+    """Trajectory-population training (the TPU-native capability the
+    reference's mutable buffers forbid): learn the field from n_traj
+    initial conditions, then test FINAL-model extrapolation on the
+    canonical x0=(1,1) trajectory."""
+    from fetode_tpu.train.traj_driver import TrajParallelRun, train_traj_parallel
+
+    run = TrajParallelRun(n_traj=n_traj, epochs=epochs, epochs_per_call=100)
+    params, hist = train_traj_parallel(run, log=None)
+    task = run.task
+    ts, _, truth = generate_data(task)
+    eval_spec = run.spec._replace(max_steps=4 * run.spec.max_steps,
+                                  solver_mode="while")
+    pred = predict(params, eval_spec, jnp.asarray([task.x0, task.y0]), ts)
+    final_test = float(jnp.mean((pred[task.n_train:] - truth[task.n_train:]) ** 2))
+    window_mse = float(jnp.mean((pred[: task.n_train] - truth[: task.n_train]) ** 2))
+    out = {
+        "final_train_population": hist["train"][-1],
+        "final_window_mse_canonical": window_mse,
+        "final_test_extrap": final_test,
+        "wall_seconds": hist["wall_seconds"],
+        "epochs_per_sec": hist["epochs_per_sec"],
+        "traj_epochs_per_sec": hist["traj_epochs_per_sec"],
+        "n_traj": n_traj,
+        "epochs": epochs,
+    }
+    print("traj", json.dumps(out))
+    return out
 
 
 def run_config(name, kw, epochs=10_000):
@@ -53,6 +84,9 @@ def run_config(name, kw, epochs=10_000):
         "wall_seconds": hist["wall_seconds"],
         "epochs_per_sec": hist["epochs_per_sec"],
         "budgets": sorted(set(hist["budget"])),
+        "budget_curve": {str(e): b for e, b in
+                         zip(hist["epoch"], hist["budget"])
+                         if b != hist["budget"][0] or e <= hist["epoch"][0]},
         "epochs": epochs,
         "knobs": kw,
         "test_curve": {str(e): t for e, t in
@@ -74,7 +108,10 @@ def main():
         with open(path) as fh:
             results = json.load(fh)
     for name in names:
-        results[name] = run_config(name, CONFIGS[name])
+        if name == "traj":
+            results[name] = run_traj_config()
+        else:
+            results[name] = run_config(name, CONFIGS[name])
         with open(path, "w") as fh:
             json.dump(results, fh, indent=2)
     if "flagship" in results:

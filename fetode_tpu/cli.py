@@ -87,6 +87,7 @@ def run_ecg(cfg, out_dir, plots):
         data = synthetic_ecg200()
     T = data[0].shape[1]
 
+    loops_fn = None   # ferro models: trained-params P-E loop extractor
     if cfg.model == "kanfet_node":
         spec = M.KanFetNODESpec(T=T, latent_dim=cfg.latent_dim,
                                 num_basis=cfg.num_basis, solver=cfg.solver,
@@ -101,6 +102,8 @@ def run_ecg(cfg, out_dir, plots):
         init_fn = lambda k: M.kanfet_mlp_node_init(k, spec)
         apply_fn = lambda p, x, key: M.kanfet_mlp_node_apply(
             p, spec, x, noise_key=key if cfg.noise_std > 0 else None)
+        loops_fn = lambda p: [("fc1", p["fc1"], spec.fc1_cfg),
+                              ("fc2", p["fc2"], spec.fc2_cfg)]
     elif cfg.model == "fepa_rnn":
         from fetode_tpu.nn.rnn import (FerroKANRNNConfig, ferro_kan_rnn_apply,
                                        ferro_kan_rnn_init)
@@ -111,6 +114,10 @@ def run_ecg(cfg, out_dir, plots):
         init_fn = lambda k: ferro_kan_rnn_init(k, rcfg)
         apply_fn = lambda p, x, key: ferro_kan_rnn_apply(
             p, rcfg, x, noise_key=key if cfg.noise_std > 0 else None)
+        loops_fn = lambda p: [
+            ("cell_input", p["cell"]["input_basis"], rcfg.cell.input_cfg),
+            ("cell_hidden", p["cell"]["hidden_basis"], rcfg.cell.hidden_cfg),
+            ("head", p["head_basis"], rcfg.head_cfg)]
     elif cfg.model == "digital_rnn":
         from fetode_tpu.nn.rnn import (DigitalRNNConfig, digital_rnn_apply,
                                        digital_rnn_init)
@@ -124,6 +131,10 @@ def run_ecg(cfg, out_dir, plots):
         init_fn = lambda k: M.node_rnn_init(k, spec)
         apply_fn = lambda p, x, key: M.node_rnn_apply(
             p, spec, x, noise_key=key if cfg.noise_std > 0 else None)
+        loops_fn = lambda p: [
+            ("basis", p["basis"], spec.basis_cfg),
+            ("cell_input", p["cell"]["input_basis"], spec.cell_cfg.input_cfg),
+            ("cell_hidden", p["cell"]["hidden_basis"], spec.cell_cfg.hidden_cfg)]
     else:
         raise SystemExit(f"unknown ECG model {cfg.model!r}")
 
@@ -134,6 +145,16 @@ def run_ecg(cfg, out_dir, plots):
         from fetode_tpu.diag.plots import plot_losses
         plot_losses({"loss": hist["loss"]}, os.path.join(out_dir, "loss.png"),
                     logy=False)
+        if loops_fn is not None:
+            # P-E hysteresis loops with the TRAINED device parameters (the
+            # reference's visualisers, train_ecg.py:673-877).
+            from fetode_tpu.diag.hysteresis import plot_loops
+            from fetode_tpu.ops.ferro import FerroParams
+
+            for prefix, fp, fcfg in loops_fn(params):
+                plot_loops(FerroParams(**fp), fcfg,
+                           os.path.join(out_dir, "hysteresis"),
+                           max_panels=6, prefix=prefix)
     return {"best_test_acc": hist["best_test_acc"]}
 
 

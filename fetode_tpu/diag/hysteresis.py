@@ -35,6 +35,7 @@ def sweep_loop(params: FerroParams, cfg: FerroConfig, *, e_max: float = 3.0,
     Returns ``(fields (2N,), responses (2N, in, out, K))`` — responses are
     the raw basis values, state threaded through the sweep.
     """
+    cfg = cfg._replace(noise_std=0.0)   # visualise the clean device response
     up = np.linspace(-e_max, e_max, n_points)
     fields = np.concatenate([up, up[::-1]])
     state = ferro_state_init((1,), cfg)

@@ -167,6 +167,8 @@ class KanFetMLPNODESpec(NamedTuple):
     dh_clip: float = 50.0
     noise_std: float = 0.0      # >0: NoisyFerroelectricBasis semantics
     solver_mode: str = "scan"
+    state_dtype: str = ""       # "" = input dtype; "bfloat16" halves the
+                                # hysteresis-state HBM traffic
 
     @property
     def fc1_cfg(self):
@@ -216,8 +218,9 @@ def kanfet_mlp_node_apply(params, spec: KanFetMLPNODESpec, x, *,
     """x (B, T) -> logits. One batched solve (no per-sample loop)."""
     B = x.shape[0]
     h0 = x @ params["encoder_w"].T + params["encoder_b"]
-    states = (ferro_state_init((B,), spec.fc1_cfg, x.dtype),
-              ferro_state_init((B,), spec.fc2_cfg, x.dtype))
+    sdt = jnp.dtype(spec.state_dtype) if spec.state_dtype else x.dtype
+    states = (ferro_state_init((B,), spec.fc1_cfg, sdt),
+              ferro_state_init((B,), spec.fc2_cfg, sdt))
     nkeys = jax.random.split(noise_key) if noise_key is not None else None
 
     def rhs(t, h):

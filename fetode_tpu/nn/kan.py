@@ -64,6 +64,10 @@ class KANLinearConfig(NamedTuple):
     # spline+base output at init (cf. the reference's logistic scaler
     # starting at 1.0 with kaiming-small weights, efficientkan.py:112-115).
     ferro_coef_scale: float = 0.1
+    # Hysteresis-state dtype override ("" = follow the input dtype).  The
+    # branch state is stop-gradient [-1,1] memory, so "bfloat16" halves the
+    # dominant HBM traffic of the ferro op at negligible accuracy cost.
+    state_dtype: str = ""
 
     @property
     def n_coeff(self) -> int:
@@ -195,6 +199,8 @@ def kan_linear_apply(
 def kan_linear_state(batch_shape, cfg: KANLinearConfig, dtype=jnp.float32):
     if cfg.ferro_num_basis == 0:
         return None
+    if cfg.state_dtype:
+        dtype = jnp.dtype(cfg.state_dtype)
     return ferro_state_init(batch_shape, cfg.ferro_cfg, dtype)
 
 

@@ -150,6 +150,8 @@ class FerroKANCellConfig(NamedTuple):
     alpha: float = 0.8
     noise_std: float = 0.0
     mix: str = "truncate"
+    state_dtype: str = ""   # "" = input dtype; "bfloat16" halves the
+                            # per-step hysteresis-state carry traffic
 
     @property
     def input_cfg(self):
@@ -177,6 +179,8 @@ def ferro_kan_cell_init(key, cfg: FerroKANCellConfig, dtype=jnp.float32):
 
 def ferro_kan_cell_state(batch_shape, cfg: FerroKANCellConfig,
                          dtype=jnp.float32) -> FerroCellState:
+    if cfg.state_dtype:
+        dtype = jnp.dtype(cfg.state_dtype)
     return FerroCellState(
         input_state=ferro_state_init(batch_shape, cfg.input_cfg, dtype),
         hidden_state=ferro_state_init(batch_shape, cfg.hidden_cfg, dtype),
@@ -216,11 +220,13 @@ class FerroKANRNNConfig(NamedTuple):
     num_classes: int = 2
     num_basis: int = 10
     noise_std: float = 0.0
+    state_dtype: str = ""
 
     @property
     def cell(self):
         return FerroKANCellConfig(self.input_size, self.hidden_size,
-                                  self.num_basis, noise_std=self.noise_std)
+                                  self.num_basis, noise_std=self.noise_std,
+                                  state_dtype=self.state_dtype)
 
     @property
     def head_cfg(self):

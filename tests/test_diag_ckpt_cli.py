@@ -103,3 +103,18 @@ def test_cli_ecg_smoke(tmp_path, monkeypatch):
                    "--model", "digital_rnn", "--latent-dim", "8",
                    "--batch-size", "16"])
     assert "best_test_acc" in result
+
+
+def test_cli_ecg_ferro_plots_emit_hysteresis_pngs(tmp_path, monkeypatch):
+    """--plots on a ferro ECG workload must write P-E loop panels with the
+    TRAINED device params (the train_ecg.py:673-877 visualiser capability)."""
+    from fetode_tpu.cli import main
+
+    monkeypatch.setenv("FETODE_DATA_DIR", str(tmp_path))
+    result = main(["ecg", "--out-dir", str(tmp_path), "--epochs", "2",
+                   "--model", "fepa_rnn", "--latent-dim", "6",
+                   "--num-basis", "2", "--batch-size", "16", "--plots"])
+    assert "best_test_acc" in result
+    pngs = os.listdir(tmp_path / "hysteresis")
+    assert any(p.startswith("cell_input") for p in pngs)
+    assert any(p.startswith("head") for p in pngs)

@@ -193,3 +193,24 @@ def test_keyed_epoch_scanner_splits_keys():
     batches = (jnp.zeros((5, 3)), jnp.zeros((5, 3)))
     _, losses = epoch_fn(state, jax.random.PRNGKey(3), batches)
     assert len(set(np.asarray(losses).tolist())) == 5, losses
+
+
+def test_bf16_state_dtype_knob():
+    """state_dtype='bfloat16' must be honored in the hysteresis state and
+    leave sequence-model outputs close to the f32-state reference (the
+    branch state is bounded [-1,1] memory; compute stays in input dtype)."""
+    from fetode_tpu.nn.rnn import (FerroKANRNNConfig, ferro_kan_cell_state,
+                                   ferro_kan_rnn_apply, ferro_kan_rnn_init)
+
+    key = jax.random.PRNGKey(5)
+    cfg32 = FerroKANRNNConfig(hidden_size=8, num_basis=3)
+    cfg_bf = FerroKANRNNConfig(hidden_size=8, num_basis=3,
+                               state_dtype="bfloat16")
+    st = ferro_kan_cell_state((2,), cfg_bf.cell, jnp.float32)
+    assert st.input_state.branch.dtype == jnp.bfloat16
+    p = ferro_kan_rnn_init(key, cfg32)
+    x = jax.random.normal(key, (4, 24), jnp.float32)
+    out32 = np.asarray(ferro_kan_rnn_apply(p, cfg32, x))
+    outbf = np.asarray(ferro_kan_rnn_apply(p, cfg_bf, x))
+    assert outbf.dtype == np.float32
+    np.testing.assert_allclose(outbf, out32, rtol=0.05, atol=0.05)
