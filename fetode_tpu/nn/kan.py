@@ -296,6 +296,25 @@ def kan_regularization(params: list, cfg: KANConfig, **kw):
                for p, c in zip(params, cfg.layers))
 
 
+def kan_update_grid(params: list, cfg: KANConfig, x: jax.Array,
+                    margin: float = 0.01) -> list:
+    """Stack-level adaptive grid refit (``update_grid`` over the whole KAN,
+    ``efficientkan.py:184-221`` per layer): each layer refits its knots to
+    the empirical distribution of ITS OWN input (x propagated through the
+    already-refitted earlier layers), preserving the current function.
+
+    Pure: returns a new params list; parameter shapes are unchanged, so
+    optimiser state remains valid.
+    """
+    state = kan_state_init(x.shape[:-1], cfg, x.dtype)
+    new_params = []
+    for p, c, s in zip(params, cfg.layers, state):
+        p2 = kan_linear_update_grid(p, c, x, margin)
+        new_params.append(p2)
+        x, _ = kan_linear_apply(p2, c, x, s)
+    return new_params
+
+
 # ---------------------------------------------------------------------- KANFET
 
 

@@ -38,7 +38,7 @@ from fetode_tpu.models.predprey import (
     predprey_init,
     trajectory_loss,
 )
-from fetode_tpu.nn.kan import kan_regularization
+from fetode_tpu.nn.kan import kan_regularization, kan_update_grid
 from fetode_tpu.train.loop import init_state, make_epoch_scanner
 from fetode_tpu.train.optim import make_optimizer
 
@@ -65,6 +65,10 @@ class PredPreyRun:
     # spec.max_steps; escalates when a probe shows near-exhaustion.
     step_budget_schedule: bool = False
     budget_headroom: float = 0.75   # escalate when steps used > this frac
+    # Every N calls, refit KAN grids to the empirical state distribution
+    # along the current predicted trajectory (update_grid live in training,
+    # the efficientkan.py:184-221 capability; 0 disables).
+    grid_update_every: int = 0
 
     def __post_init__(self):
         if self.spec is None:
@@ -160,6 +164,14 @@ def train_predprey(run: PredPreyRun, log=print):
             crit = va
         if crit < best[0]:
             best = (crit, state.params)
+        if run.grid_update_every and (call + 1) % run.grid_update_every == 0 \
+                and call < n_calls - 1:
+            # Refit grids to the states the field actually visits (the
+            # predicted trajectory over the fit window); function-preserving
+            # refit keeps shapes, so the optimiser state stays valid.
+            samples = predict(state.params, eval_spec, x0, ts_fit)
+            state = state._replace(
+                params=kan_update_grid(state.params, spec.kan, samples))
         # Escalate the step budget when the probe shows near-exhaustion
         # (or the forward no longer reaches t_final at all).
         if probe is not None and stage < len(budgets) - 1:

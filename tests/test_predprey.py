@@ -106,3 +106,19 @@ def test_driver_reg_val_and_budget_schedule():
     assert hist["budget"][0] == 32            # ladder starts at max_steps//4
     assert all(b <= 128 for b in hist["budget"])
     assert hist["train"][-1] < hist["train"][0]
+
+
+def test_driver_live_grid_refit_converges():
+    """Periodic update_grid inside the training loop (grid_update_every)
+    must keep training convergent — the refit is function-preserving so
+    the loss may not jump at refit boundaries."""
+    from fetode_tpu.train.predprey_driver import PredPreyRun, train_predprey
+
+    task = PredPreyTask(n_train=12, tf_learn=1.2, tf=2.4, n_t=24)
+    spec = PredPreyNODE.kanfet(layers_hidden=(2, 4, 2), ferro_num_basis=2,
+                               method="rk4")
+    run = PredPreyRun(task=task, spec=spec, epochs=60, epochs_per_call=20,
+                      grid_update_every=1, eval_every_call=False)
+    params, hist = train_predprey(run, log=None)
+    assert np.isfinite(hist["train"]).all()
+    assert hist["train"][-1] < hist["train"][0]
