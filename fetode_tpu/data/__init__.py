@@ -12,7 +12,6 @@ from fetode_tpu.data.informer import (  # noqa: F401
     dataset_ett_minute,
     dataset_pred,
 )
-from fetode_tpu.data.masking import prob_mask, triangular_causal_mask  # noqa: F401
 from fetode_tpu.data.metrics import (  # noqa: F401
     corr,
     mae,

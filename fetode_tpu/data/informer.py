@@ -10,8 +10,8 @@ Capability parity with ``data/data_loader.py`` of the reference:
 TPU-native: instead of per-item ``__getitem__``, each split materialises
 dense window arrays once (numpy fancy indexing) ready for scan epochs.
 Attention masks of the reference's vendored kit (``data/utils/masking.py``)
-are provided in ``fetode_tpu.data.masking`` for completeness (they are
-dead code there and unused here — no attention model exists in either).
+are intentionally NOT reproduced: they are dead code there (no attention
+model exists in either repo).
 """
 
 from __future__ import annotations

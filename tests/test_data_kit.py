@@ -1,4 +1,4 @@
-"""Tests for the Informer-style data kit, time features, metrics, masks,
+"""Tests for the Informer-style data kit, time features, metrics,
 and the multimodal text-fusion pipeline."""
 
 import os
@@ -16,7 +16,6 @@ from fetode_tpu.data import (
     merge_with_text,
     metric,
     time_features,
-    triangular_causal_mask,
 )
 
 HAVE_ETT = os.path.exists("/root/reference/data/ETT/ETTh1.csv")
@@ -85,12 +84,6 @@ def test_metrics_sane():
     assert m[0] == pytest.approx(0.25)      # MAE
     assert m[1] == pytest.approx(0.25)      # MSE
     assert np.isfinite(m).all()
-
-
-def test_causal_mask():
-    m = np.asarray(triangular_causal_mask(2, 4))
-    assert m.shape == (2, 1, 4, 4)
-    assert not m[0, 0, 3, 2] and m[0, 0, 0, 1]
 
 
 def test_multimodal_fusion_pipeline():
