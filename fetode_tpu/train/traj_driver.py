@@ -54,6 +54,10 @@ class TrajParallelRun:
     epochs_per_call: int = 50
     seed: int = 0
     grad_clip: float = 1.0
+    cosine_decay: bool = True
+    # Pin x0s[0] to the task's canonical initial condition so the
+    # single-trajectory workload is a strict subset of the population.
+    include_canonical: bool = True
     # Mesh: None = single device (no sharding); otherwise the number of
     # devices to use, with model_axis-way tensor parallelism inside it.
     n_devices: int = None
@@ -73,6 +77,8 @@ def make_batched_data(run: TrajParallelRun):
     key = jax.random.PRNGKey(run.seed)
     x0s = jax.random.uniform(key, (run.n_traj, 2), run.dtype,
                              run.x0_low, run.x0_high)
+    if run.include_canonical:
+        x0s = x0s.at[0].set(jnp.asarray([task.x0, task.y0], run.dtype))
     field = lotka_volterra_field(task)
     solve = lambda x0: odeint_dopri5(field, x0, ts_learn, rtol=1e-8,
                                      atol=1e-10, max_steps=2048, mode="while")
@@ -86,7 +92,11 @@ def train_traj_parallel(run: TrajParallelRun, log=print):
     ts_learn, x0s, targets = make_batched_data(run)
 
     params = predprey_init(jax.random.PRNGKey(run.seed), spec, run.dtype)
-    tx = make_optimizer(run.lr, kind="adam", grad_clip=run.grad_clip,
+    lr = run.lr
+    if run.cosine_decay:
+        import optax
+        lr = optax.cosine_decay_schedule(run.lr, run.epochs, alpha=0.05)
+    tx = make_optimizer(lr, kind="adam", grad_clip=run.grad_clip,
                         params=params)
 
     mesh = None
