@@ -31,6 +31,8 @@ CONFIGS = {
     "reg_val": dict(reg_lambda=1e-4, val_points=5),
     "schedule": dict(step_budget_schedule=True),
     "flagship": dict(reg_lambda=1e-4, step_budget_schedule=True),
+    "anchor": dict(phase_anchor_periods=2),
+    "anchor3": dict(phase_anchor_periods=3),
 }
 
 

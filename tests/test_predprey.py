@@ -122,3 +122,20 @@ def test_driver_live_grid_refit_converges():
     params, hist = train_predprey(run, log=None)
     assert np.isfinite(hist["train"]).all()
     assert hist["train"][-1] < hist["train"][0]
+
+
+def test_period_estimate_and_anchor_smoke():
+    """_estimate_period must recover the LV period (~3.317) from the train
+    window alone; the anchored driver must construct a sorted augmented
+    fit grid without error."""
+    from fetode_tpu.train.predprey_driver import (PredPreyRun,
+                                                  _estimate_period,
+                                                  train_predprey)
+
+    t = _estimate_period(PredPreyTask(), jnp.float64)
+    assert abs(t - 3.317) < 0.005, t
+    # epochs=0: exercises setup (period estimate, grid augmentation,
+    # budget scaling) without paying a training compile.
+    run = PredPreyRun(epochs=0, phase_anchor_periods=2, cosine_decay=False)
+    params, hist = train_predprey(run, log=None)
+    assert hist["train"] == []
