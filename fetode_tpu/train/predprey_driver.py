@@ -147,7 +147,8 @@ def train_predprey(run: PredPreyRun, log=print):
     if run.cosine_decay:
         import optax
         lr = optax.cosine_decay_schedule(run.lr, run.epochs, alpha=0.05)
-    tx = make_optimizer(lr, kind="adam", grad_clip=run.grad_clip,
+    tx = make_optimizer(lr, kind="adam",
+                        grad_clip=run.grad_clip if run.grad_clip > 0 else None,
                         params=params)
     state = init_state(params, tx)
 
