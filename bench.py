@@ -160,9 +160,11 @@ def bench_diffusion_sampling():
         diffusion_forecaster_init,
         diffusion_forecaster_sample,
     )
+    from fetode_tpu.nn.diffusion import make_schedule
 
     spec = DiffusionForecasterSpec(num_features=7, context_len=96,
                                    pred_len=24, diff_T=200)
+    sched = make_schedule(spec.diff_T)
     key = jax.random.PRNGKey(0)
     params = diffusion_forecaster_init(key, spec)
     B = 64
@@ -170,7 +172,7 @@ def bench_diffusion_sampling():
 
     @jax.jit
     def sample(p, x_ctx, k):
-        return diffusion_forecaster_sample(p, spec, x_ctx, k)
+        return diffusion_forecaster_sample(p, spec, sched, x_ctx, k)
 
     out = sample(params, x_ctx, key)
     _sync(out[0, 0])
