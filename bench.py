@@ -99,14 +99,38 @@ def bench_predprey():
 
 def bench_traj_training():
     """Batched-trajectory TRAINING throughput (population of initial
-    conditions, full grad+Adam step) — the SURVEY §2.5(b) deliverable."""
-    from fetode_tpu.train.traj_driver import TrajParallelRun, train_traj_parallel
+    conditions, full grad+Adam step) — the SURVEY §2.5(b) deliverable.
+    Times only the jitted epoch scans (data generation and compile
+    excluded)."""
+    import jax
+    import jax.numpy as jnp
 
-    run = TrajParallelRun(n_traj=256, epochs=60, epochs_per_call=20)
-    _, hist = train_traj_parallel(run, log=None)   # includes compile call
-    # Re-run the timed portion now that it is warm.
+    from fetode_tpu.models.predprey import predprey_init, trajectory_loss
+    from fetode_tpu.train.loop import init_state, make_epoch_scanner
+    from fetode_tpu.train.optim import make_optimizer
+    from fetode_tpu.train.traj_driver import TrajParallelRun, make_batched_data
+
+    run = TrajParallelRun(n_traj=256, epochs=60, epochs_per_call=20,
+                          cosine_decay=False)
+    ts_learn, x0s, targets = make_batched_data(run)
+    params = predprey_init(jax.random.PRNGKey(0), run.spec)
+    tx = make_optimizer(run.lr, kind="adam", grad_clip=run.grad_clip,
+                        params=params)
+    state = init_state(params, tx)
+
+    def loss_fn(p, x0s_, targets_):
+        return jnp.mean(jax.vmap(
+            lambda x0, tgt: trajectory_loss(p, run.spec, x0, ts_learn, tgt)
+        )(x0s_, targets_))
+
+    scanner = make_epoch_scanner(loss_fn, tx, run.epochs_per_call)
+    state, losses = scanner(state, x0s, targets)       # compile + warm
+    _sync(losses[-1])
+    n_calls = run.epochs // run.epochs_per_call
     t0 = time.perf_counter()
-    _, hist = train_traj_parallel(run, log=None)
+    for _ in range(n_calls):
+        state, losses = scanner(state, x0s, targets)
+    _sync(losses[-1])
     wall = time.perf_counter() - t0
     return run.n_traj * run.epochs / wall
 

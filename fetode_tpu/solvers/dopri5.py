@@ -207,26 +207,22 @@ def odeint_dopri5(
         )
         return new
 
-    def attempt_or_skip(c):
-        # Once integration reaches t_final the remaining scan iterations are
-        # no-ops; a scalar lax.cond makes XLA SKIP the RK stage math there
-        # (a TPU conditional, not a select — the predicate is a loop-carried
-        # scalar).  Typical solves use 20-90 of the max_steps=256 budget, so
-        # this is a 2-5x epoch-cost cut with bit-identical results.  Under
-        # vmap the cond lowers to a select (both branches computed), which
-        # is exactly the old behaviour.
-        return jax.lax.cond(c["t"] >= t_final - tiny, lambda c: c, attempt, c)
-
+    # NOTE (measured negative result, round 2): wrapping the scan body in a
+    # scalar `lax.cond` to skip the RK math of finished iterations made the
+    # whole bench ~3x SLOWER on TPU v5e (19.7 vs 74 epochs/s; batched paths
+    # regressed too) — TPU conditionals break XLA's static schedule and the
+    # per-iteration control overhead (~100+ us) dwarfs the skipped compute.
+    # Masked no-op iterations (below) are the TPU-friendly form.
     if mode == "while":
         def cond(c):
             return (c["t"] < t_final - tiny) & (c["n_acc"] + c["n_rej"] < max_steps)
         carry = jax.lax.while_loop(cond, attempt, carry0)
     else:
         if checkpoint:
-            body = jax.checkpoint(lambda c, _: (attempt_or_skip(c), None))
+            body = jax.checkpoint(lambda c, _: (attempt(c), None))
             carry, _ = jax.lax.scan(body, carry0, None, length=max_steps)
         else:
-            carry, _ = jax.lax.scan(lambda c, _: (attempt_or_skip(c), None),
+            carry, _ = jax.lax.scan(lambda c, _: (attempt(c), None),
                                     carry0, None, length=max_steps)
 
     # Graceful degradation if the step budget ran out: outputs beyond the

@@ -69,6 +69,11 @@ class PredPreyRun:
     # along the current predicted trajectory (update_grid live in training,
     # the efficientkan.py:184-221 capability; 0 disables).
     grid_update_every: int = 0
+    # Warm start: resume from previously trained params (e.g. a plain
+    # window-fit run) instead of a fresh init — the two-stage recipe
+    # "fit the window, then anchor the period" trains each objective at
+    # its natural difficulty.
+    init_params: object = None
     # Periodicity-anchored training (0 disables): the 35-point learn window
     # covers one FULL Lotka-Volterra period (T ~ 3.317 < 3.5), so the train
     # data itself implies target values at t + k*T.  Fitting the window
@@ -142,7 +147,8 @@ def train_predprey(run: PredPreyRun, log=print):
         target_fit = jnp.concatenate([target_fit, target_fit])[order]
         spec = spec._replace(max_steps=(1 + k) * spec.max_steps)
 
-    params = predprey_init(jax.random.PRNGKey(run.seed), spec, run.dtype)
+    params = (run.init_params if run.init_params is not None
+              else predprey_init(jax.random.PRNGKey(run.seed), spec, run.dtype))
     lr = run.lr
     if run.cosine_decay:
         import optax
