@@ -36,26 +36,40 @@ CONFIGS = {
 }
 
 
-def run_two_stage(epochs1=10_000, epochs2=5_000):
+def _extrap_mse(params, spec):
+    task = PredPreyTask()
+    ts, _, truth = generate_data(task)
+    eval_spec = spec._replace(max_steps=4 * spec.max_steps,
+                              solver_mode="while")
+    pred = predict(params, eval_spec, jnp.asarray([task.x0, task.y0]), ts)
+    return float(jnp.mean((pred[task.n_train:] - truth[task.n_train:]) ** 2))
+
+
+def run_two_stage(epochs1=10_000, epochs2=5_000, anchor_k=2):
     """Two-stage flagship: (1) plain 35-point window fit (the reference's
     exact objective), then (2) periodicity-anchored fine-tune at lower lr —
     the window is already fit, stage 2 only has to correct the learned
-    orbit's period (the extrapolation-error driver)."""
+    orbit's period (the extrapolation-error driver).  The returned model is
+    the BEST-BY-ANCHORED-TRAIN-LOSS snapshot: a principled selection
+    criterion computed from train-implied data only (the anchored loss
+    directly measures phase coherence k periods out)."""
     run1 = PredPreyRun(epochs=epochs1)
     p1, h1 = train_predprey(run1, log=None)
-    run2 = PredPreyRun(epochs=epochs2, lr=5e-4, phase_anchor_periods=2,
-                       init_params=p1)
+    run2 = PredPreyRun(epochs=epochs2, lr=5e-4,
+                       phase_anchor_periods=anchor_k, init_params=p1)
     p2, h2 = train_predprey(run2, log=None)
     out = {
+        "anchor_k": anchor_k,
         "stage1_final_train": h1["train"][-1],
         "stage1_final_test_extrap": h1["test"][-1],
         "stage2_final_train_anchored": h2["train"][-1],
         "final_test_extrap": h2["test"][-1],
+        "selected_test_extrap": _extrap_mse(p2, run2.spec),
         "min_test_extrap_stage2": min(h2["test"]),
         "wall_seconds": h1["wall_seconds"] + h2["wall_seconds"],
         "epochs": [epochs1, epochs2],
     }
-    print("two_stage", json.dumps(out))
+    print(f"two_stage_k{anchor_k}", json.dumps(out))
     return out
 
 
@@ -139,6 +153,8 @@ def main():
             results[name] = run_traj_config()
         elif name == "two_stage":
             results[name] = run_two_stage()
+        elif name == "two_stage_k3":
+            results[name] = run_two_stage(anchor_k=3)
         else:
             results[name] = run_config(name, CONFIGS[name])
         with open(path, "w") as fh:

@@ -74,6 +74,13 @@ class PredPreyRun:
     # "fit the window, then anchor the period" trains each objective at
     # its natural difficulty.
     init_params: object = None
+    # Multiple shooting (0 disables): split the fit window into segments of
+    # `shooting_points` consecutive samples (overlapping by one), each
+    # solved IN PARALLEL from its first sample's OBSERVED value.  Sequential
+    # solver depth per epoch drops by the segment count while the segment
+    # solves ride a vmap — the TPU-native trade of sequential latency for
+    # parallel width.  Requires (n_train-1) % (shooting_points-1) == 0.
+    shooting_points: int = 0
     # Periodicity-anchored training (0 disables): the 35-point learn window
     # covers one FULL Lotka-Volterra period (T ~ 3.317 < 3.5), so the train
     # data itself implies target values at t + k*T.  Fitting the window
@@ -161,11 +168,40 @@ def train_predprey(run: PredPreyRun, log=print):
     budgets = (_budget_ladder(spec.max_steps) if run.step_budget_schedule
                and spec.method == "dopri5" else [spec.max_steps])
 
+    # Multiple shooting: segment the fit window, solve all segments in
+    # parallel from their observed starting values.
+    fit_args = (x0, ts_fit, target_fit)
+    spec_shoot = None
+    if run.shooting_points > 1:
+        if run.phase_anchor_periods > 0 or run.step_budget_schedule:
+            raise ValueError("shooting_points is incompatible with "
+                             "phase_anchor_periods / step_budget_schedule")
+        import numpy as np
+        P = run.shooting_points
+        n_pts = int(ts_fit.shape[0])
+        if (n_pts - 1) % (P - 1):
+            raise ValueError(f"(n_fit-1)={n_pts - 1} intervals not divisible "
+                             f"by shooting_points-1={P - 1}")
+        n_seg = (n_pts - 1) // (P - 1)
+        idx = np.stack([np.arange(i * (P - 1), i * (P - 1) + P)
+                        for i in range(n_seg)])
+        # Per-segment step budget: proportional share of the full budget
+        # with 4x headroom (segments are short; the scan is n_seg x shorter).
+        seg_budget = max(32, int(4 * spec.max_steps * (P - 1) / (n_pts - 1)))
+        spec_shoot = spec._replace(max_steps=seg_budget)
+        fit_args = (target_fit[idx[:, 0]], ts_fit[idx], target_fit[idx])
+
     def make_scanner(budget):
         spec_b = spec._replace(max_steps=budget)
 
         def loss_fn(p, x0_, ts_, target_):
-            loss = trajectory_loss(p, spec_b, x0_, ts_, target_)
+            if spec_shoot is not None:
+                pred = jax.vmap(
+                    lambda x0s, tss: predict(p, spec_shoot, x0s, tss)
+                )(x0_, ts_)
+                loss = jnp.mean((pred - target_) ** 2)
+            else:
+                loss = trajectory_loss(p, spec_b, x0_, ts_, target_)
             if run.reg_lambda > 0.0:
                 loss = loss + run.reg_lambda * kan_regularization(p, spec.kan)
             return loss
@@ -203,7 +239,7 @@ def train_predprey(run: PredPreyRun, log=print):
     n_calls = run.epochs // run.epochs_per_call
     t0 = time.perf_counter()
     for call in range(n_calls):
-        state, losses = scanner(state, x0, ts_fit, target_fit)
+        state, losses = scanner(state, *fit_args)
         tr = float(losses[-1])
         history["train"].append(tr)
         history["epoch"].append((call + 1) * run.epochs_per_call)

@@ -139,3 +139,18 @@ def test_period_estimate_and_anchor_smoke():
     run = PredPreyRun(epochs=0, phase_anchor_periods=2, cosine_decay=False)
     params, hist = train_predprey(run, log=None)
     assert hist["train"] == []
+
+
+def test_multiple_shooting_converges():
+    """Multiple-shooting training (segments solved in parallel from observed
+    values) must reduce loss; eval (full solve from x0) must stay finite."""
+    from fetode_tpu.train.predprey_driver import PredPreyRun, train_predprey
+
+    task = PredPreyTask(n_train=13, tf_learn=1.2, tf=2.4, n_t=26)
+    spec = PredPreyNODE.kanfet(layers_hidden=(2, 4, 2), ferro_num_basis=2,
+                               max_steps=64)
+    run = PredPreyRun(task=task, spec=spec, epochs=40, epochs_per_call=20,
+                      shooting_points=4)   # 12 intervals -> 4 segments
+    params, hist = train_predprey(run, log=None)
+    assert hist["train"][-1] < hist["train"][0]
+    assert np.isfinite(hist["test"]).all()
