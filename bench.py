@@ -238,12 +238,9 @@ def main() -> None:
     if os.path.exists(run_path):
         with open(run_path) as fh:
             rec = json.load(fh)
-        if "final_train" in rec:
-            extra["full_run_final_train_mse"] = rec["final_train"]
-            extra["full_run_best_test_mse"] = rec.get("min_test_extrap")
-        else:
-            extra["full_run_final_train_mse"] = rec["train"][-1]
-            extra["full_run_best_test_mse"] = min(rec["test"])
+        extra["full_run_final_train_mse"] = rec.get("final_train")
+        extra["full_run_final_test_extrap_mse"] = rec.get("final_test_extrap")
+        extra["full_run_best_test_mse"] = rec.get("min_test_extrap")
 
     result = {
         "metric": "predprey KANFET-NODE training throughput (dopri5 rtol1e-7, full epoch incl. grad+Adam)",

@@ -159,11 +159,23 @@ def main():
             results[name] = run_config(name, CONFIGS[name])
         with open(path, "w") as fh:
             json.dump(results, fh, indent=2)
-    if "flagship" in results:
-        r = results["flagship"]
+    # The flagship quality run recorded for bench/BASELINE: the two-stage
+    # recipe (plain reference-objective 10k fit -> periodicity-anchored
+    # fine-tune) if present, else the plain baseline.
+    best_name = next((n for n in ("two_stage", "two_stage_k3", "baseline")
+                      if n in results), None)
+    if best_name:
+        r = results[best_name]
+        flat = {
+            "config": best_name,
+            "final_train": r.get("stage1_final_train", r.get("final_train")),
+            "final_test_extrap": r.get("final_test_extrap"),
+            "min_test_extrap": r.get("min_test_extrap_stage2",
+                                     r.get("min_test_extrap")),
+            "wall_seconds": r.get("wall_seconds"),
+        }
         with open(os.path.join(here, "predprey_10k_run.json"), "w") as fh:
-            json.dump({"config": "flagship (reg 1e-4 + step-budget schedule)",
-                       **r}, fh, indent=2)
+            json.dump(flat, fh, indent=2)
 
 
 if __name__ == "__main__":
