@@ -33,6 +33,9 @@ CONFIGS = {
     "flagship": dict(reg_lambda=1e-4, step_budget_schedule=True),
     "anchor": dict(phase_anchor_periods=2),
     "anchor3": dict(phase_anchor_periods=3),
+    # 17 segments of 3 points solved in parallel: sequential depth per
+    # epoch drops ~8.5x (seg budget 60 vs 256 full-window scan)
+    "shooting": dict(shooting_points=3),
 }
 
 
