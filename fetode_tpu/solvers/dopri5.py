@@ -125,6 +125,7 @@ def odeint_dopri5(
     checkpoint: bool = True,
     norm_fn: Callable = error_norm,
     full_output: bool = False,
+    unroll: int = 1,
 ):
     """Integrate ``dy/dt = func(t, y, *args)`` adaptively, output at ``ts``.
 
@@ -134,6 +135,11 @@ def odeint_dopri5(
         forward-only).
       norm_fn: error norm ``(y_err, y0, y1, rtol, atol) -> scalar``;
         override to exclude auxiliary state leaves from step control.
+      unroll: scan-mode body unroll factor (must divide max_steps when >1).
+        Each scan iteration executes ``unroll`` solver attempts under ONE
+        `jax.checkpoint`, cutting per-iteration loop/dispatch overhead on
+        small fields at the cost of re-running ``unroll`` attempts per
+        segment in the backward remat.
 
     Returns:
       Trajectory pytree with leading axis T (and ``Dopri5Stats`` when
@@ -218,12 +224,17 @@ def odeint_dopri5(
             return (c["t"] < t_final - tiny) & (c["n_acc"] + c["n_rej"] < max_steps)
         carry = jax.lax.while_loop(cond, attempt, carry0)
     else:
-        if checkpoint:
-            body = jax.checkpoint(lambda c, _: (attempt(c), None))
-            carry, _ = jax.lax.scan(body, carry0, None, length=max_steps)
-        else:
-            carry, _ = jax.lax.scan(lambda c, _: (attempt(c), None),
-                                    carry0, None, length=max_steps)
+        if unroll > 1 and max_steps % unroll:
+            raise ValueError(f"unroll={unroll} must divide max_steps={max_steps}")
+
+        def seg(c, _):
+            for _i in range(max(1, unroll)):
+                c = attempt(c)
+            return c, None
+
+        body = jax.checkpoint(seg) if checkpoint else seg
+        carry, _ = jax.lax.scan(body, carry0, None,
+                                length=max_steps // max(1, unroll))
 
     # Graceful degradation if the step budget ran out: outputs beyond the
     # integration frontier hold the LAST reached state (param-dependent, so

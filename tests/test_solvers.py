@@ -203,3 +203,38 @@ def test_dopri5_jit_and_max_steps_reported():
     ys, stats = fn(y0)
     assert bool(stats.success)
     assert int(stats.n_accepted) <= 64
+
+
+# ------------------------------------------------------- unroll / checkpoint
+
+
+def test_dopri5_unroll_matches_unrolled_reference():
+    """Scan-body unroll must not change the integration (same attempt
+    sequence, only loop structure differs)."""
+    y0 = jnp.asarray([1.0, 0.0])
+    ts = jnp.linspace(0.0, 3.0, 9)
+    ref = odeint_dopri5(harmonic, y0, ts, max_steps=64, unroll=1)
+    for unroll in (2, 4):
+        out = odeint_dopri5(harmonic, y0, ts, max_steps=64, unroll=unroll)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-7)
+    with pytest.raises(ValueError):
+        odeint_dopri5(harmonic, y0, ts, max_steps=64, unroll=3)
+
+
+@pytest.mark.parametrize("unroll,checkpoint", [(4, True), (1, False)])
+def test_dopri5_unroll_checkpoint_gradients(unroll, checkpoint):
+    """Gradients through unrolled / non-rematerialised scans match the
+    default per-step-checkpoint configuration."""
+    y0 = jnp.asarray([1.0, 0.0])
+    ts = jnp.linspace(0.0, 2.0, 5)
+
+    def loss(scale, **kw):
+        traj = odeint_dopri5(lambda t, y: scale * harmonic(t, y), y0, ts,
+                             max_steps=64, **kw)
+        return jnp.sum(traj ** 2)
+
+    g_ref = jax.grad(loss)(1.0)
+    g = jax.grad(lambda s: loss(s, unroll=unroll, checkpoint=checkpoint))(1.0)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
