@@ -247,7 +247,8 @@ def diffusion_forecaster_loss(params, spec: DiffusionForecasterSpec,
 
 def diffusion_forecaster_sample(params, spec: DiffusionForecasterSpec,
                                 sched: DiffusionSchedule, x_ctx, key,
-                                t_fut=None, n_samples: int = 1):
+                                t_fut=None, n_samples: int = 1,
+                                unroll: int = 4):
     """Sample future sequences; (B, P) or (n_samples, B, P)."""
     if t_fut is None:
         t_fut = jnp.arange(spec.pred_len, dtype=x_ctx.dtype)
@@ -259,7 +260,7 @@ def diffusion_forecaster_sample(params, spec: DiffusionForecasterSpec,
 
     def one(k):
         return p_sample_loop(sched, eps_model, (B, spec.pred_len), cond, k,
-                             x_ctx.dtype)
+                             x_ctx.dtype, unroll=unroll)
 
     if n_samples == 1:
         return one(key)

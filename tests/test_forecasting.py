@@ -177,3 +177,23 @@ def test_logistic_linear(key):
     p = logistic_linear_init(key, 4, 3, 5, jnp.float64)
     y = logistic_linear_apply(p, jax.random.normal(key, (7, 4), jnp.float64))
     assert y.shape == (7, 3)
+
+
+def test_p_sample_loop_unroll_parity():
+    """Scan unroll is a scheduling knob: same keys -> same samples."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sched = make_schedule(20)
+
+    def eps_model(y_t, t_idx, cond):
+        return 0.1 * y_t
+
+    key = jax.random.PRNGKey(7)
+    ref = p_sample_loop(sched, eps_model, (4, 6), None, key, unroll=1)
+    for unroll in (3, 4):
+        out = p_sample_loop(sched, eps_model, (4, 6), None, key,
+                            unroll=unroll)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-7)
