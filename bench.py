@@ -94,7 +94,26 @@ def bench_predprey():
         out = solve_batch(state.params, x0s)
     _sync(out[0, 0, 0])
     traj_per_sec = n_rep * n_traj / (time.perf_counter() - t0)
-    return epochs_per_sec, final_loss, traj_per_sec
+
+    # Whole-solve Pallas kernel (ops/pallas_node.py): the entire adaptive
+    # dopri5 integration in ONE kernel, per-lane step control.  Measured
+    # winner in the moderate-batch regime (B<=512).
+    from fetode_tpu.ops.pallas_node import pallas_kanfet_solve
+
+    @jax.jit
+    def solve_pallas(p, x0s):
+        return pallas_kanfet_solve(p, infer_spec.kan, x0s, ts,
+                                   rtol=infer_spec.rtol,
+                                   atol=infer_spec.atol, max_steps=512)
+
+    for _ in range(3):
+        _sync(solve_pallas(state.params, x0s)[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = solve_pallas(state.params, x0s)
+    _sync(out[0, 0, 0])
+    pallas_traj_per_sec = n_rep * n_traj / (time.perf_counter() - t0)
+    return epochs_per_sec, final_loss, traj_per_sec, pallas_traj_per_sec
 
 
 def bench_traj_training():
@@ -214,7 +233,8 @@ def bench_diffusion_sampling():
 def main() -> None:
     import jax
 
-    epochs_per_sec, final_loss, traj_per_sec = bench_predprey()
+    (epochs_per_sec, final_loss, traj_per_sec,
+     pallas_traj_per_sec) = bench_predprey()
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "baseline_cpu.json")
@@ -226,6 +246,7 @@ def main() -> None:
     extra = {
         "final_train_loss": final_loss,
         "trajectories_per_sec_per_chip": round(traj_per_sec, 1),
+        "pallas_whole_solve_traj_per_sec": round(pallas_traj_per_sec, 1),
         "traj_training_traj_epochs_per_sec": round(bench_traj_training(), 1),
         "ecg_ferro_epochs_per_sec": round(bench_ecg_ferro(), 2),
         "ecg_ferro_bf16state_epochs_per_sec": round(
