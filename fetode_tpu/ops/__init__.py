@@ -16,6 +16,10 @@ from fetode_tpu.ops.ferro import (  # noqa: F401
     ferro_state_init,
 )
 from fetode_tpu.ops.interp import cubic_hermite, linear_interp  # noqa: F401
+from fetode_tpu.ops.pallas_adjoint import (  # noqa: F401
+    make_train_solver,
+    pallas_kanfet_solve_train,
+)
 from fetode_tpu.ops.pallas_node import pallas_kanfet_solve  # noqa: F401
 from fetode_tpu.ops.logistic import (  # noqa: F401
     HystereticLogisticParams,

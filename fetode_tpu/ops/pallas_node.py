@@ -30,17 +30,17 @@ Forward-only (inference / evaluation path).  Training keeps the
 checkpointed-scan dopri5: its backward is the measured-fastest option
 (BASELINE.md ablations).
 
-Measured (TPU v5e-1, flagship predprey field, rtol 1e-7/atol 1e-9,
-140 output times; parity vs while-mode odeint 1.9e-5 in interpret mode):
+Precision note: all in-kernel dots run at ``Precision.HIGHEST``.  With
+the default bf16-pass MXU matmuls the embedded 4th/5th-order error
+estimate bottoms out at the matmul noise floor, so the controller rejects
+forever at dt~1e-2 and burns the whole step budget (measured: 256
+attempts to reach t=2.1 where the f32 path crosses the full window in 18
+accepted steps) — adaptive solvers are precision-critical in a way plain
+inference is not.
 
-* B=512 (one VMEM-resident block): **39.1k traj/s vs 33.1k** for the
-  vmapped XLA scan solver (+18%) — the win comes from per-lane step
-  control plus zero HLO loop overhead, and the in-kernel ``while_loop``
-  early-exit (a 512-step ``fori_loop`` version measured only 34.2k).
-* B=2048 (grid of 4 batch blocks): 43.9k vs 46.6k — XLA wins the
-  large-batch regime; sequential grid steps each pay their slowest lane,
-  while one giant vmap amortises the loop overhead the kernel removes.
-  Use the XLA path there; this kernel is the moderate-batch/latency path.
+Measured (TPU v5e-1, flagship predprey field, rtol 1e-7/atol 1e-9,
+140 output times; parity vs while-mode odeint 1.9e-5 in interpret mode;
+numbers in BASELINE.md are kept current after the precision fix).
 """
 
 from __future__ import annotations
@@ -75,9 +75,13 @@ def _field_factory(layer_dims, spline_order, gate_slope, alpha, n_knots):
     def field(x, layer_refs):
         for (in_d, out_d, K), refs in zip(layer_dims, layer_refs):
             base_w, sw2, grid, fk, fec, fps, fbias, fcoef = refs
-            # ---- base branch: silu(x) @ W^T  → (out, B)
-            y = jnp.dot(base_w[:], jax.nn.silu(x),
-                        preferred_element_type=jnp.float32)
+            # ---- base branch: silu(x) @ W^T  → (out, B).  HIGHEST MXU
+            # precision: bf16-pass matmuls floor the embedded error
+            # estimate and stall the step controller (see pallas_adjoint).
+            y = jax.lax.dot_general(
+                base_w[:], jax.nn.silu(x), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
             # ---- spline branch: Cox-de Boor over (in, seg, B)
             g3 = grid[:][:, :, None]                       # (in, NK, 1)
@@ -92,8 +96,10 @@ def _field_factory(layer_dims, spline_order, gate_slope, alpha, n_knots):
                 bases = (ln / ld) * bases[:, :-1] + (rn / rd) * bases[:, 1:]
             C = n_knots - 1 - spline_order                 # grid_size + order
             B = x.shape[-1]
-            y = y + jnp.dot(sw2[:], bases.reshape(in_d * C, B),
-                            preferred_element_type=jnp.float32)
+            y = y + jax.lax.dot_general(
+                sw2[:], bases.reshape(in_d * C, B), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
             # ---- ferro branch, fresh frozen state (prev_x=0, branch=+1)
             N = in_d * out_d * K

@@ -110,11 +110,27 @@ def train_traj_parallel(run: TrajParallelRun, log=print):
 
     state = init_state(params, tx)
 
-    def loss_fn(p, x0s_, targets_):
-        losses = jax.vmap(
-            lambda x0, tgt: trajectory_loss(p, spec, x0, ts_learn, tgt)
-        )(x0s_, targets_)
-        return jnp.mean(losses)
+    if spec.solver_mode == "pallas" and mesh is not None:
+        raise ValueError("solver_mode='pallas' is the single-chip fast "
+                         "path; use scan mode for mesh-sharded runs "
+                         "(or shard_map the kernel per device)")
+    if spec.solver_mode == "pallas":
+        # The whole-solve adjoint kernel is natively batched (trajectories
+        # on the lane axis, per-lane step control) — solve the population
+        # in one kernel call instead of vmapping per-trajectory solves.
+        from fetode_tpu.ops.pallas_adjoint import pallas_kanfet_solve_train
+
+        def loss_fn(p, x0s_, targets_):
+            pred = pallas_kanfet_solve_train(
+                p, spec.kan, x0s_, ts_learn, rtol=spec.rtol, atol=spec.atol,
+                max_steps=spec.max_steps)
+            return jnp.mean((pred - targets_) ** 2)
+    else:
+        def loss_fn(p, x0s_, targets_):
+            losses = jax.vmap(
+                lambda x0, tgt: trajectory_loss(p, spec, x0, ts_learn, tgt)
+            )(x0s_, targets_)
+            return jnp.mean(losses)
 
     scanner = make_epoch_scanner(loss_fn, tx, run.epochs_per_call)
 
