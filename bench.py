@@ -48,32 +48,39 @@ def bench_predprey():
     from fetode_tpu.train.optim import make_optimizer
 
     task = PredPreyTask()
-    spec = PredPreyNODE.kanfet(max_steps=256)  # north-star flagship config
+    # North-star flagship config.  Training mode: "pallas" = the
+    # whole-solve kernel with in-kernel discrete adjoint
+    # (ops/pallas_adjoint.py) — measured 7x the checkpointed-scan
+    # throughput at identical convergence; scan is timed alongside.
+    spec_scan = PredPreyNODE.kanfet(max_steps=256)
+    spec_pal = spec_scan._replace(solver_mode="pallas")
     ts, ts_learn, truth = generate_data(task)
     target = truth[: task.n_train]
     x0 = jnp.asarray([task.x0, task.y0], jnp.float32)
 
-    params = predprey_init(jax.random.PRNGKey(0), spec)
-    tx = make_optimizer(2e-3, kind="adam", params=params)
-    state = init_state(params, tx)
+    def time_training(spec, epochs_per_call, n_calls):
+        params = predprey_init(jax.random.PRNGKey(0), spec)
+        tx = make_optimizer(2e-3, kind="adam", params=params)
+        state = init_state(params, tx)
 
-    def loss_fn(p, x0_, ts_, tgt):
-        return trajectory_loss(p, spec, x0_, ts_, tgt)
+        def loss_fn(p, x0_, ts_, tgt):
+            return trajectory_loss(p, spec, x0_, ts_, tgt)
 
-    # Long per-call epoch scans amortise the ~100 ms tunnel round-trip so
-    # the number reflects device throughput.
-    epochs_per_call = 200
-    scanner = make_epoch_scanner(loss_fn, tx, epochs_per_call)
+        # Long per-call epoch scans amortise the ~100 ms tunnel
+        # round-trip so the number reflects device throughput.
+        scanner = make_epoch_scanner(loss_fn, tx, epochs_per_call)
+        state, losses = scanner(state, x0, ts_learn, target)   # compile
+        _sync(losses[-1])
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            state, losses = scanner(state, x0, ts_learn, target)
+        final_loss = _sync(losses[-1])
+        eps = n_calls * epochs_per_call / (time.perf_counter() - t0)
+        return eps, final_loss, state
 
-    state, losses = scanner(state, x0, ts_learn, target)   # compile+warm
-    _sync(losses[-1])
-    n_calls = 3
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
-        state, losses = scanner(state, x0, ts_learn, target)
-    final_loss = _sync(losses[-1])
-    wall = time.perf_counter() - t0
-    epochs_per_sec = n_calls * epochs_per_call / wall
+    scan_eps, _, _ = time_training(spec_scan, 200, 3)
+    epochs_per_sec, final_loss, state = time_training(spec_pal, 200, 6)
+    spec = spec_scan
 
     # Batched-trajectory inference throughput: vmap over initial conditions
     # (the TPU-native upgrade the reference's stateful buffers forbid).
@@ -113,7 +120,8 @@ def bench_predprey():
         out = solve_pallas(state.params, x0s)
     _sync(out[0, 0, 0])
     pallas_traj_per_sec = n_rep * n_traj / (time.perf_counter() - t0)
-    return epochs_per_sec, final_loss, traj_per_sec, pallas_traj_per_sec
+    return (epochs_per_sec, scan_eps, final_loss, traj_per_sec,
+            pallas_traj_per_sec)
 
 
 def bench_traj_training():
@@ -233,7 +241,7 @@ def bench_diffusion_sampling():
 def main() -> None:
     import jax
 
-    (epochs_per_sec, final_loss, traj_per_sec,
+    (epochs_per_sec, scan_eps, final_loss, traj_per_sec,
      pallas_traj_per_sec) = bench_predprey()
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -245,6 +253,7 @@ def main() -> None:
 
     extra = {
         "final_train_loss": final_loss,
+        "scan_mode_epochs_per_sec": round(scan_eps, 2),
         "trajectories_per_sec_per_chip": round(traj_per_sec, 1),
         "pallas_whole_solve_traj_per_sec": round(pallas_traj_per_sec, 1),
         "traj_training_traj_epochs_per_sec": round(bench_traj_training(), 1),
@@ -267,7 +276,7 @@ def main() -> None:
         extra["full_run_best_test_mse"] = rec.get("min_test_extrap")
 
     result = {
-        "metric": "predprey KANFET-NODE training throughput (dopri5 rtol1e-7, full epoch incl. grad+Adam)",
+        "metric": "predprey KANFET-NODE training throughput (dopri5 rtol1e-7, full epoch incl. grad+Adam; in-kernel discrete-adjoint path)",
         "value": round(epochs_per_sec, 3),
         "unit": "epochs/sec",
         "vs_baseline": (round(epochs_per_sec * baseline_sec_per_epoch, 2)

@@ -47,7 +47,8 @@ def run_predprey(cfg, out_dir, plots):
     spec = PredPreyNODE.kanfet(layers_hidden=cfg.layers, grid_size=cfg.grid_size,
                                ferro_num_basis=cfg.ferro_num_basis,
                                method=cfg.method, rtol=cfg.rtol, atol=cfg.atol,
-                               max_steps=cfg.max_steps)
+                               max_steps=cfg.max_steps,
+                               solver_mode=cfg.solver_mode)
     run = PredPreyRun(spec=spec, lr=cfg.lr, epochs=cfg.epochs,
                       epochs_per_call=cfg.epochs_per_call, seed=cfg.seed)
     logger = MetricLogger(os.path.join(out_dir, "metrics.jsonl"))

@@ -29,6 +29,10 @@ class PredPreyPreset:
     rtol: float = 1e-7
     atol: float = 1e-9
     max_steps: int = 256
+    # "scan" (checkpointed XLA scan), "while" (eval), or "pallas" (the
+    # whole-solve kernel with in-kernel discrete adjoint — fastest
+    # measured training path on a real TPU chip).
+    solver_mode: str = "scan"
     seed: int = 0
 
 

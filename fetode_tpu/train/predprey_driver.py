@@ -237,6 +237,15 @@ def train_predprey(run: PredPreyRun, log=print):
     history = {"train": [], "test": [], "val": [], "epoch": [], "budget": []}
     best = (jnp.inf, state.params)
     n_calls = run.epochs // run.epochs_per_call
+    # Warm compiles OUTSIDE the timed window (results discarded; `state`
+    # is an immutable pytree, so training is unaffected).  Driver-reported
+    # epochs/sec previously folded 1-5 min of XLA/Mosaic compile into
+    # wall_seconds, understating throughput by up to 10x on short runs.
+    warm, _ = scanner(state, *fit_args)
+    _ = float(test_loss(warm.params)) if run.eval_every_call else None
+    _ = float(val_loss(warm.params)) if run.val_points > 0 else None
+    del warm
+
     t0 = time.perf_counter()
     for call in range(n_calls):
         state, losses = scanner(state, *fit_args)

@@ -93,6 +93,19 @@ def test_cli_predprey_smoke(tmp_path):
     assert os.path.exists(tmp_path / "result.json")
 
 
+def test_cli_predprey_pallas_mode(tmp_path):
+    """--solver-mode pallas routes training through the whole-solve
+    adjoint kernel (interpret mode on CPU)."""
+    from fetode_tpu.cli import main
+
+    result = main(["predprey", "--out-dir", str(tmp_path),
+                   "--epochs", "2", "--epochs-per-call", "1",
+                   "--solver-mode", "pallas", "--max-steps", "48",
+                   "--rtol", "1e-4", "--atol", "1e-6",
+                   "--layers", "2,4,2", "--ferro-num-basis", "2"])
+    assert "epochs_per_sec" in result
+
+
 def test_cli_ecg_smoke(tmp_path, monkeypatch):
     from fetode_tpu.cli import main
 
