@@ -140,26 +140,39 @@ def bench_traj_training():
     run = TrajParallelRun(n_traj=256, epochs=60, epochs_per_call=20,
                           cosine_decay=False)
     ts_learn, x0s, targets = make_batched_data(run)
-    params = predprey_init(jax.random.PRNGKey(0), run.spec)
-    tx = make_optimizer(run.lr, kind="adam", grad_clip=run.grad_clip,
-                        params=params)
-    state = init_state(params, tx)
 
-    def loss_fn(p, x0s_, targets_):
-        return jnp.mean(jax.vmap(
-            lambda x0, tgt: trajectory_loss(p, run.spec, x0, ts_learn, tgt)
-        )(x0s_, targets_))
+    def time_mode(spec):
+        params = predprey_init(jax.random.PRNGKey(0), spec)
+        tx = make_optimizer(run.lr, kind="adam", grad_clip=run.grad_clip,
+                            params=params)
+        state = init_state(params, tx)
 
-    scanner = make_epoch_scanner(loss_fn, tx, run.epochs_per_call)
-    state, losses = scanner(state, x0s, targets)       # compile + warm
-    _sync(losses[-1])
-    n_calls = run.epochs // run.epochs_per_call
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
-        state, losses = scanner(state, x0s, targets)
-    _sync(losses[-1])
-    wall = time.perf_counter() - t0
-    return run.n_traj * run.epochs / wall
+        if spec.solver_mode == "pallas":
+            from fetode_tpu.ops.pallas_adjoint import pallas_kanfet_solve_train
+
+            def loss_fn(p, x0s_, targets_):
+                pred = pallas_kanfet_solve_train(
+                    p, spec.kan, x0s_, ts_learn, rtol=spec.rtol,
+                    atol=spec.atol, max_steps=spec.max_steps)
+                return jnp.mean((pred - targets_) ** 2)
+        else:
+            def loss_fn(p, x0s_, targets_):
+                return jnp.mean(jax.vmap(
+                    lambda x0, tgt: trajectory_loss(p, spec, x0, ts_learn, tgt)
+                )(x0s_, targets_))
+
+        scanner = make_epoch_scanner(loss_fn, tx, run.epochs_per_call)
+        state, losses = scanner(state, x0s, targets)       # compile + warm
+        _sync(losses[-1])
+        n_calls = run.epochs // run.epochs_per_call
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            state, losses = scanner(state, x0s, targets)
+        _sync(losses[-1])
+        return run.n_traj * run.epochs / (time.perf_counter() - t0)
+
+    return (time_mode(run.spec._replace(solver_mode="pallas")),
+            time_mode(run.spec))
 
 
 def bench_ecg_ferro(state_dtype=""):
@@ -251,12 +264,14 @@ def main() -> None:
         with open(base_path) as fh:
             baseline_sec_per_epoch = json.load(fh)["sec_per_epoch"]
 
+    traj_train_pallas, traj_train_scan = bench_traj_training()
     extra = {
         "final_train_loss": final_loss,
         "scan_mode_epochs_per_sec": round(scan_eps, 2),
         "trajectories_per_sec_per_chip": round(traj_per_sec, 1),
         "pallas_whole_solve_traj_per_sec": round(pallas_traj_per_sec, 1),
-        "traj_training_traj_epochs_per_sec": round(bench_traj_training(), 1),
+        "traj_training_traj_epochs_per_sec": round(traj_train_pallas, 1),
+        "traj_training_scan_traj_epochs_per_sec": round(traj_train_scan, 1),
         "ecg_ferro_epochs_per_sec": round(bench_ecg_ferro(), 2),
         "ecg_ferro_bf16state_epochs_per_sec": round(
             bench_ecg_ferro("bfloat16"), 2),

@@ -683,6 +683,40 @@ def make_train_solver(cfg, rtol=1e-7, atol=1e-9, max_steps=256,
     return solve
 
 
+def pallas_kanfet_solve_train_sharded(params, cfg, x0s, ts, mesh, *,
+                                      axis="data", rtol=1e-7, atol=1e-9,
+                                      max_steps=256, block_b=512,
+                                      interpret=None):
+    """Data-parallel whole-solve training over a device mesh.
+
+    Each device runs the adjoint kernel on its local trajectory shard
+    (``shard_map`` over ``axis``); parameters are replicated, and the
+    shard_map transpose inserts the psum that all-reduces their gradients
+    — the GSPMD analogue of the reference's (absent) DDP.  ``x0s`` batch
+    must divide the axis size.
+
+    Differentiable exactly like ``pallas_kanfet_solve_train``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    from jax.sharding import PartitionSpec as P
+
+    n_shard = mesh.shape[axis]
+    if x0s.shape[0] % n_shard:
+        raise ValueError(f"batch {x0s.shape[0]} not divisible by "
+                         f"{axis}={n_shard}")
+    fn = make_train_solver(cfg, rtol=rtol, atol=atol, max_steps=max_steps,
+                           block_b=block_b, interpret=interpret)
+    solve = jax.shard_map(
+        lambda p, x, t: fn(p, x, t),
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return solve(params, x0s, ts)
+
+
 def pallas_kanfet_solve_train(params, cfg, x0s, ts, *, rtol=1e-7,
                               atol=1e-9, max_steps=256, block_b=512,
                               interpret=None):

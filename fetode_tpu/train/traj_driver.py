@@ -110,20 +110,29 @@ def train_traj_parallel(run: TrajParallelRun, log=print):
 
     state = init_state(params, tx)
 
-    if spec.solver_mode == "pallas" and mesh is not None:
-        raise ValueError("solver_mode='pallas' is the single-chip fast "
-                         "path; use scan mode for mesh-sharded runs "
-                         "(or shard_map the kernel per device)")
+    if spec.solver_mode == "pallas" and mesh is not None and run.model_axis > 1:
+        raise ValueError("solver_mode='pallas' shards trajectories over "
+                         "'data' only; tensor parallelism needs scan mode")
     if spec.solver_mode == "pallas":
         # The whole-solve adjoint kernel is natively batched (trajectories
         # on the lane axis, per-lane step control) — solve the population
         # in one kernel call instead of vmapping per-trajectory solves.
-        from fetode_tpu.ops.pallas_adjoint import pallas_kanfet_solve_train
+        # On a mesh, shard_map runs the kernel per device over the 'data'
+        # axis; the shard_map transpose psums the replicated-param grads.
+        from fetode_tpu.ops.pallas_adjoint import (
+            pallas_kanfet_solve_train,
+            pallas_kanfet_solve_train_sharded,
+        )
 
         def loss_fn(p, x0s_, targets_):
-            pred = pallas_kanfet_solve_train(
-                p, spec.kan, x0s_, ts_learn, rtol=spec.rtol, atol=spec.atol,
-                max_steps=spec.max_steps)
+            if mesh is not None:
+                pred = pallas_kanfet_solve_train_sharded(
+                    p, spec.kan, x0s_, ts_learn, mesh, rtol=spec.rtol,
+                    atol=spec.atol, max_steps=spec.max_steps)
+            else:
+                pred = pallas_kanfet_solve_train(
+                    p, spec.kan, x0s_, ts_learn, rtol=spec.rtol,
+                    atol=spec.atol, max_steps=spec.max_steps)
             return jnp.mean((pred - targets_) ** 2)
     else:
         def loss_fn(p, x0s_, targets_):

@@ -179,6 +179,39 @@ def test_driver_trains_in_pallas_mode(setup):
     assert losses[-1] < losses[0] * 0.9
 
 
+def test_sharded_matches_single_device(setup):
+    """shard_map over the 8-device 'data' axis: same predictions and
+    parameter gradients (psum'd by the shard_map transpose) as the
+    single-device kernel."""
+    from fetode_tpu.ops.pallas_adjoint import (
+        pallas_kanfet_solve_train_sharded,
+    )
+    from fetode_tpu.parallel import make_mesh
+
+    spec, params, _, ts, target, solver = setup
+    mesh = make_mesh(8)
+    x0s = jax.random.uniform(jax.random.PRNGKey(3), (16, 2), jnp.float32,
+                             0.5, 2.0)
+    tgt = jnp.broadcast_to(target[None], (16,) + target.shape)
+
+    def loss_single(p):
+        return jnp.mean((solver(p, x0s, ts) - tgt) ** 2)
+
+    def loss_sharded(p):
+        pred = pallas_kanfet_solve_train_sharded(
+            p, spec.kan, x0s, ts, mesh, rtol=RTOL, atol=ATOL,
+            max_steps=MAX_STEPS, interpret=True)
+        return jnp.mean((pred - tgt) ** 2)
+
+    l1, g1 = jax.value_and_grad(loss_single)(params)
+    l2, g2 = jax.value_and_grad(loss_sharded)(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    f2, _ = jax.flatten_util.ravel_pytree(g2)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_x0_gradient(setup):
     """x0 cotangent flows through the adjoint (λ₀ plus the t=t₀ output)."""
     spec, params, x0, ts, target, solver = setup
