@@ -234,21 +234,25 @@ def bench_diffusion_sampling():
     B = 64
     x_ctx = jax.random.normal(key, (B, spec.context_len, spec.num_features))
 
-    @jax.jit
-    def sample(p, x_ctx, k):
-        return diffusion_forecaster_sample(p, spec, sched, x_ctx, k)
+    def timed(sampler):
+        @jax.jit
+        def sample(p, x_ctx, k):
+            return diffusion_forecaster_sample(p, spec, sched, x_ctx, k,
+                                               sampler=sampler)
 
-    # Warm thoroughly: past the first compiled call, dispatch/tunnel costs
-    # keep dropping for a few invocations (measured 360 -> 2080 samples/s
-    # between the 1st and 2nd timed windows) — time only the steady state.
-    for i in range(5):
-        _sync(sample(params, x_ctx, jax.random.fold_in(key, 100 + i))[0, 0])
-    n_rep = 15
-    t0 = time.perf_counter()
-    for i in range(n_rep):
-        out = sample(params, x_ctx, jax.random.fold_in(key, i))
-    _sync(out[0, 0])
-    return n_rep * B / (time.perf_counter() - t0)
+        # Warm thoroughly: past the first compiled call, dispatch/tunnel
+        # costs keep dropping for a few invocations — time steady state.
+        for i in range(5):
+            _sync(sample(params, x_ctx,
+                         jax.random.fold_in(key, 100 + i))[0, 0])
+        n_rep = 15
+        t0 = time.perf_counter()
+        for i in range(n_rep):
+            out = sample(params, x_ctx, jax.random.fold_in(key, i))
+        _sync(out[0, 0])
+        return n_rep * B / (time.perf_counter() - t0)
+
+    return timed("pallas"), timed("scan")
 
 
 def main() -> None:
@@ -275,10 +279,13 @@ def main() -> None:
         "ecg_ferro_epochs_per_sec": round(bench_ecg_ferro(), 2),
         "ecg_ferro_bf16state_epochs_per_sec": round(
             bench_ecg_ferro("bfloat16"), 2),
-        "diffusion_samples_per_sec": round(bench_diffusion_sampling(), 1),
+        "diffusion_samples_per_sec": None,      # filled below
         "baseline_cpu_sec_per_epoch": baseline_sec_per_epoch,
         "device": str(jax.devices()[0]),
     }
+    diff_pallas, diff_scan = bench_diffusion_sampling()
+    extra["diffusion_samples_per_sec"] = round(diff_pallas, 1)
+    extra["diffusion_scan_samples_per_sec"] = round(diff_scan, 1)
     # Convergence/parity evidence from the recorded full 10k-epoch run
     # (benchmarks/predprey_10k_run.json, produced on this chip).
     run_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

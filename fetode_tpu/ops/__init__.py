@@ -20,6 +20,7 @@ from fetode_tpu.ops.pallas_adjoint import (  # noqa: F401
     make_train_solver,
     pallas_kanfet_solve_train,
 )
+from fetode_tpu.ops.pallas_ddpm import pallas_eps_head_sample  # noqa: F401
 from fetode_tpu.ops.pallas_node import pallas_kanfet_solve  # noqa: F401
 from fetode_tpu.ops.logistic import (  # noqa: F401
     HystereticLogisticParams,
