@@ -173,9 +173,36 @@ def _layer_vjp(x, ybar, refs, grad_refs, dims, p, n_knots, gate_slope,
     return xbar
 
 
+def _tableau_table():
+    """(7, 12) runtime coefficient table for the stage-LOOPED kernels:
+    cols 0..5 = A[j][l] (strictly lower triangular, zeros elsewhere),
+    col 7 = b_j, col 8 = b_err_j, col 9 = dense d_j.  A full 7-term
+    contraction with these rows equals the per-stage partial sums — the
+    zero coefficients make masks unnecessary."""
+    import numpy as np
+
+    tab = np.zeros((7, 12), np.float32)
+    for j in range(7):
+        for l, a in enumerate(DOPRI5.a[j][:j]):
+            tab[j, l] = a
+        tab[j, 7] = DOPRI5.b[j]
+        tab[j, 8] = DOPRI5.b_err[j]
+        tab[j, 9] = DOPRI5_DENSE_D[j]
+    return jnp.asarray(tab)
+
+
 def _make_fwd_kernel(layer_dims, p, gate_slope, alpha, n_knots, D, T,
-                     max_steps, rtol, atol):
-    """Forward solve + per-attempt records (t, dt, adv, y, all 7 stages)."""
+                     max_steps, rtol, atol, stage_loop=False):
+    """Forward solve + per-attempt records (t, dt, adv, y, all 7 stages).
+
+    ``stage_loop``: run the RK stage recursion as an in-kernel
+    ``fori_loop`` over a runtime tableau table with the stage values in a
+    VMEM scratch buffer, instead of fully unrolling 6 field evals.  The
+    unrolled form is fastest for small fields but its code size crashes
+    the Mosaic compiler once the ferro row count reaches ~1024
+    (measured: [2,32,2] compiles, [2,64,2] does not); the looped form
+    compiles one field body regardless of width.
+    """
     A, Bw, BE = DOPRI5.a, DOPRI5.b, DOPRI5.b_err
     n_layers = len(layer_dims)
 
@@ -313,12 +340,147 @@ def _make_fwd_kernel(layer_dims, p, gate_slope, alpha, n_knots, D, T,
         misc_ref[0] = t                                   # final time per lane
         misc_ref[1] = jnp.full((1, Bn), m.astype(jnp.float32))
 
-    return kernel
+    if not stage_loop:
+        return kernel
+
+    def kernel_sl(x0_ref, ts_ref, *refs):
+        ks_buf = refs[-1]                                  # VMEM scratch
+        out_ref, tda_ref, yrec_ref, krec_ref, misc_ref = refs[-6:-1]
+        tab_ref = refs[n_layers * _N_PER_LAYER]
+        layer_refs = [refs[i * _N_PER_LAYER:(i + 1) * _N_PER_LAYER]
+                      for i in range(n_layers)]
+        f = lambda x: field(x, layer_refs)
+
+        y0 = x0_ref[:]
+        ts_col = ts_ref[:]
+        t0 = ts_col[0, 0]
+        t_final = ts_col[T - 1, 0]
+        tiny = jnp.float32(1e-12)
+        Bn = y0.shape[1]
+
+        tda_ref[:] = jnp.zeros_like(tda_ref)
+        ks_buf[:] = jnp.zeros_like(ks_buf)   # 0*uninit would be NaN
+        for d in range(D):
+            out_ref[d] = jnp.broadcast_to(y0[d:d + 1, :], out_ref[d].shape)
+
+        f0 = f(y0)
+
+        def rms(v, ref):
+            s = atol + rtol * jnp.abs(ref)
+            return jnp.sqrt(jnp.mean((v / s) ** 2, axis=0, keepdims=True))
+
+        d0 = rms(y0, y0)
+        d1 = rms(f0, y0)
+        h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6,
+                       0.01 * d0 / jnp.maximum(d1, 1e-30))
+        f1i = f(y0 + h0 * f0)
+        d2 = rms(f1i - f0, y0) / h0
+        dmax = jnp.maximum(d1, d2)
+        h1 = jnp.where(dmax <= 1e-15, jnp.maximum(1e-6, h0 * 1e-3),
+                       (0.01 / jnp.maximum(dmax, 1e-30)) ** (1.0 / (_ORDER + 1)))
+        dt0 = jnp.minimum(jnp.minimum(100.0 * h0, h1), t_final - t0)
+
+        t = jnp.full((1, Bn), t0, jnp.float32)
+        errp = jnp.ones_like(t)
+
+        def body(carry):
+            m, t, dt, errp, y, fv = carry
+            finished = t >= t_final - tiny
+            dt = jnp.where(finished, 0.0, jnp.minimum(dt, t_final - t))
+            dt_safe = jnp.where(dt == 0.0, 1.0, dt)
+
+            # ---- stage loop (k1 = FSAL carry seeds row 0)
+            ks_buf[pl.ds(0, D)] = fv
+            row0 = tab_ref[pl.ds(0, 1), :]
+            acc0 = (y + (dt * row0[0, 7]) * fv, row0[0, 8] * fv,
+                    row0[0, 9] * fv)
+
+            def stage(j, acc):
+                y1a, yea, r5a = acc
+                row = tab_ref[pl.ds(j, 1), :]
+                incr = row[0, 0] * ks_buf[pl.ds(0, D)]
+                for l in range(1, 6):
+                    incr = incr + row[0, l] * ks_buf[pl.ds(l * D, D)]
+                kj = f(y + dt * incr)
+                ks_buf[pl.ds(j * D, D)] = kj
+                return (y1a + (dt * row[0, 7]) * kj,
+                        yea + row[0, 8] * kj,
+                        r5a + row[0, 9] * kj)
+
+            y1, yerr_s, r5s = jax.lax.fori_loop(1, 7, stage, acc0)
+            yerr = dt * yerr_s
+            k7 = ks_buf[pl.ds(6 * D, D)]
+
+            scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
+            err = jnp.sqrt(jnp.mean((yerr / scale) ** 2, axis=0,
+                                    keepdims=True))
+            err = jnp.maximum(err, 1e-10)
+            accept = (err <= 1.0) | finished
+
+            fac_pi = _SAFETY * err ** (-_ALPHA) * errp ** _BETA
+            fac_acc = jnp.clip(fac_pi, _DFACTOR, _IFACTOR)
+            fac_rej = jnp.clip(_SAFETY * err ** (-1.0 / _ORDER), _DFACTOR, 1.0)
+            dt_next = jnp.where(finished, 0.0,
+                                dt_safe * jnp.where(accept, fac_acc, fac_rej))
+            t_new = jnp.where(accept, t + dt, t)
+            adv = accept & ~finished
+
+            # ---- attempt records (bulk stage copy)
+            tda_ref[0, pl.ds(m, 1), :] = t
+            tda_ref[1, pl.ds(m, 1), :] = dt
+            tda_ref[2, pl.ds(m, 1), :] = adv.astype(jnp.float32)
+            for d in range(D):
+                yrec_ref[d, pl.ds(m, 1), :] = y[d:d + 1]
+            krec_ref[:, pl.ds(m, 1), :] = ks_buf[:][:, None, :]
+
+            # ---- dense output (CONTD5)
+            dy = y1 - y
+            r3 = dt * fv - dy
+            r4 = dy - dt * k7 - r3
+            r5 = dt * r5s
+
+            theta = jnp.clip((ts_col - t) / dt_safe, 0.0, 1.0)
+            th1 = 1.0 - theta
+            write = (adv & (ts_col > t) & (ts_col <= t + dt + tiny))
+            for d in range(D):
+                dense = y[d:d + 1] + theta * (
+                    dy[d:d + 1] + th1 * (r3[d:d + 1] + theta * (
+                        r4[d:d + 1] + th1 * r5[d:d + 1])))
+                out_ref[d] = jnp.where(write, dense, out_ref[d])
+
+            return (m + 1,
+                    t_new,
+                    dt_next,
+                    jnp.where(adv, err, errp),
+                    jnp.where(adv, y1, y),
+                    jnp.where(adv, k7, fv))
+
+        def cond(carry):
+            m, t = carry[0], carry[1]
+            return (m < max_steps) & jnp.any(t < t_final - tiny)
+
+        m, t, dt, errp, y, fv = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), t, dt0, errp, y0, f0))
+
+        unreached = ts_col > t + tiny
+        for d in range(D):
+            out_ref[d] = jnp.where(unreached,
+                                   jnp.broadcast_to(y[d:d + 1],
+                                                    out_ref[d].shape),
+                                   out_ref[d])
+        misc_ref[0] = t
+        misc_ref[1] = jnp.full((1, Bn), m.astype(jnp.float32))
+
+    return kernel_sl
 
 
 def _make_bwd_kernel(layer_dims, p, gate_slope, alpha, n_knots, D, T,
-                     max_steps):
-    """Reverse replay of recorded attempts; hand VJP of the KANFET field."""
+                     max_steps, stage_loop=False):
+    """Reverse replay of recorded attempts; hand VJP of the KANFET field.
+
+    ``stage_loop``: fori over stages (kbar rows in VMEM scratch, tableau
+    as a runtime table) instead of unrolling seven field-VJP bodies —
+    see ``_make_fwd_kernel``."""
     A, Bw = DOPRI5.a, DOPRI5.b
     DN = DOPRI5_DENSE_D
     n_layers = len(layer_dims)
@@ -446,6 +608,124 @@ def _make_bwd_kernel(layer_dims, p, gate_slope, alpha, n_knots, D, T,
             [jnp.sum(jnp.where(head, ybar_ref[d], 0.0), axis=0)
              for d in range(D)], axis=0)
 
+    if not stage_loop:
+        return kernel
+
+    def kernel_sl(ts_ref, ybar_ref, tda_ref, yrec_ref, krec_ref, misc_ref,
+                  *refs):
+        kbar_buf = refs[-1]                                # VMEM scratch
+        x0bar_ref = refs[-2]
+        grad_refs_all = refs[-2 - n_layers * _N_GRAD:-2]
+        tab_ref = refs[n_layers * _N_PER_LAYER]
+        param_refs = refs[:n_layers * _N_PER_LAYER]
+        layer_refs = [param_refs[i * _N_PER_LAYER:(i + 1) * _N_PER_LAYER]
+                      for i in range(n_layers)]
+        layer_grads = [grad_refs_all[i * _N_GRAD:(i + 1) * _N_GRAD]
+                       for i in range(n_layers)]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _zero_grads():
+            for gr in grad_refs_all:
+                gr[:] = jnp.zeros_like(gr)
+
+        ts_col = ts_ref[:]
+        t0 = ts_col[0, 0]
+        tiny = jnp.float32(1e-12)
+        Bn = ybar_ref.shape[-1]
+        t_end = misc_ref[0]
+        n_att = misc_ref[1, 0, 0].astype(jnp.int32)
+
+        def field_vjp(x, ybar):
+            xs = []
+            h = x
+            for dims, refs_l in zip(layer_dims, layer_refs):
+                xs.append(h)
+                h = _layer_forward(h, refs_l, dims, p, n_knots, gate_slope,
+                                   alpha)
+            g = ybar
+            for li in range(n_layers - 1, -1, -1):
+                g = _layer_vjp(xs[li], g, layer_refs[li], layer_grads[li],
+                               layer_dims[li], p, n_knots, gate_slope,
+                               alpha)
+            return g
+
+        unreached = ts_col > t_end + tiny
+        lam = jnp.stack(
+            [jnp.sum(jnp.where(unreached, ybar_ref[d], 0.0), axis=0)
+             for d in range(D)], axis=0)
+
+        def body(carry):
+            m, lam = carry
+            mm = m - 1
+            t = tda_ref[0, pl.ds(mm, 1), :]
+            dt = tda_ref[1, pl.ds(mm, 1), :]
+            adv = tda_ref[2, pl.ds(mm, 1), :]
+            dt_safe = jnp.where(dt == 0.0, 1.0, dt)
+            y = jnp.concatenate(
+                [yrec_ref[d, pl.ds(mm, 1), :] for d in range(D)], axis=0)
+            ksall = krec_ref[:, pl.ds(mm, 1), :].reshape(7 * D, Bn)
+
+            theta = jnp.clip((ts_col - t) / dt_safe, 0.0, 1.0)
+            th1 = 1.0 - theta
+            write = ((adv > 0.5) & (ts_col > t)
+                     & (ts_col <= t + dt + tiny)).astype(jnp.float32)
+            P1 = theta * write
+            P3 = theta * th1 * write
+            P4 = theta * theta * th1 * write
+            P5 = theta * theta * th1 * th1 * write
+            c_dy = P1 - P3 + 2.0 * P4
+            wsum, s_dy, s_1, s_7, s_5 = [], [], [], [], []
+            for d in range(D):
+                yb = ybar_ref[d]
+                wsum.append(jnp.sum(write * yb, axis=0))
+                s_dy.append(jnp.sum(c_dy * yb, axis=0))
+                s_1.append(jnp.sum((P3 - P4) * yb, axis=0))
+                s_7.append(jnp.sum(-P4 * yb, axis=0))
+                s_5.append(jnp.sum(P5 * yb, axis=0))
+            wsum = jnp.stack(wsum, axis=0)[None].reshape(D, Bn)
+            s_dy = jnp.stack(s_dy, axis=0)
+            s_1 = jnp.stack(s_1, axis=0)
+            s_7 = jnp.stack(s_7, axis=0)
+            s_5 = jnp.stack(s_5, axis=0)
+
+            advm = adv
+            lam_m = lam * advm
+            for j in range(7):                     # init (cheap, no field)
+                kb = dt * (Bw[j] * (lam_m + s_dy) + DN[j] * s_5)
+                if j == 0:
+                    kb = kb + dt * s_1
+                if j == 6:
+                    kb = kb + dt * s_7
+                kbar_buf[pl.ds(j * D, D)] = kb
+
+            def rev_stage(i, ybar_m):
+                j = 6 - i
+                row = tab_ref[pl.ds(j, 1), :]
+                # u_j = y + dt*sum_l a_jl k_l  (row 0 is all zeros -> u=y)
+                incr = row[0, 0] * ksall[0:D]
+                for l in range(1, 6):
+                    incr = incr + row[0, l] * ksall[l * D:(l + 1) * D]
+                u = y + dt * incr
+                ub = field_vjp(u, kbar_buf[pl.ds(j * D, D)] * advm)
+                # kbar_l += dt*a_jl*ub — zero coeffs for l >= j keep
+                # already-consumed rows untouched in value terms
+                for l in range(6):
+                    kbar_buf[pl.ds(l * D, D)] += dt * (row[0, l] * ub)
+                return ybar_m + ub
+
+            ybar_m = jax.lax.fori_loop(0, 7, rev_stage, lam_m + wsum)
+            lam = jnp.where(advm > 0.5, ybar_m, lam)
+            return (mm, lam)
+
+        _, lam = jax.lax.while_loop(lambda c: c[0] > 0, body, (n_att, lam))
+
+        head = (ts_col <= t0 + tiny)
+        x0bar_ref[:] = lam + jnp.stack(
+            [jnp.sum(jnp.where(head, ybar_ref[d], 0.0), axis=0)
+             for d in range(D)], axis=0)
+
+    return kernel_sl
+
     return kernel
 
 
@@ -511,7 +791,7 @@ def _unflatten_grads(params, cfgs, grads_flat):
 
 @functools.lru_cache(maxsize=32)
 def make_train_solver(cfg, rtol=1e-7, atol=1e-9, max_steps=256,
-                      block_b=512, interpret=False):
+                      block_b=512, interpret=False, stage_loop=None):
     """Build the differentiable whole-solve function for one KANFET stack.
 
     Returns ``solve(params, x0s, ts) -> (B, T, D)`` with a custom VJP
@@ -532,6 +812,11 @@ def make_train_solver(cfg, rtol=1e-7, atol=1e-9, max_steps=256,
                        for c in cfgs)
     n_layers = len(cfgs)
     f32 = jnp.float32
+    if stage_loop is None:
+        # auto: full unroll is fastest for small fields; its code size
+        # crashes Mosaic once any layer's ferro row count nears 1024
+        # (measured boundary between [2,32,2]=512 ok and [2,64,2]=1024).
+        stage_loop = any(i * o * k >= 1024 for i, o, k in layer_dims)
 
     def _pad(x0s):
         B = x0s.shape[0]
@@ -549,8 +834,11 @@ def make_train_solver(cfg, rtol=1e-7, atol=1e-9, max_steps=256,
         x0p, bb, n_blocks, B_pad = _pad(x0s)
         flat = _flatten_params(params, cfgs)
         inputs = [x0p.T, ts.astype(f32)[:, None]] + flat
+        if stage_loop:
+            inputs.append(_tableau_table())
         kernel = _make_fwd_kernel(layer_dims, p, gate_slope, alpha, n_knots,
-                                  D, T, max_steps, rtol, atol)
+                                  D, T, max_steps, rtol, atol,
+                                  stage_loop=stage_loop)
 
         in_specs = [pl.BlockSpec((D, bb), lambda i: (0, i),
                                  memory_space=pltpu.VMEM)]
@@ -576,12 +864,14 @@ def make_train_solver(cfg, rtol=1e-7, atol=1e-9, max_steps=256,
             pl.BlockSpec((2, 1, bb), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ]
+        scratch = ([pltpu.VMEM((7 * D, bb), f32)] if stage_loop else [])
         out, tda, yrec, krec, misc = pl.pallas_call(
             kernel,
             grid=(n_blocks,),
             out_shape=out_shapes,
             in_specs=in_specs,
             out_specs=out_specs,
+            scratch_shapes=scratch,
             interpret=interpret,
         )(*inputs)
         traj = jnp.transpose(out[:, :, :x0s.shape[0]], (2, 1, 0))
@@ -602,8 +892,10 @@ def make_train_solver(cfg, rtol=1e-7, atol=1e-9, max_steps=256,
         inputs = [ts.astype(f32)[:, None], ybar, tda, yrec, krec,
                   misc.reshape(2, 1, B_pad)] + flat
 
+        if stage_loop:
+            inputs.append(_tableau_table())
         kernel = _make_bwd_kernel(layer_dims, p, gate_slope, alpha, n_knots,
-                                  D, T, max_steps)
+                                  D, T, max_steps, stage_loop=stage_loop)
 
         # inputs: ts, ybar, records (batch-split), params (broadcast)
         in_specs = [
@@ -620,12 +912,10 @@ def make_train_solver(cfg, rtol=1e-7, atol=1e-9, max_steps=256,
             pl.BlockSpec((2, 1, bb), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ]
-        for a in flat:
+        for a in inputs[6:]:       # params (+ tableau table in loop mode)
             in_specs.append(pl.BlockSpec(a.shape, lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))
 
-        # kernel arg order: params first, then grads, then x0bar — rebuild
-        # the input list to match (params were appended after records).
         kernel_inputs = inputs
         out_shapes, out_specs = [], []
         for pp, c in zip(params, cfgs):
@@ -641,20 +931,16 @@ def make_train_solver(cfg, rtol=1e-7, atol=1e-9, max_steps=256,
         out_specs.append(pl.BlockSpec((D, bb), lambda i: (0, i),
                                       memory_space=pltpu.VMEM))
 
-        def kernel_wrap(ts_r, ybar_r, tda_r, yrec_r, krec_r, misc_r,
-                        *rest):
-            n_par = n_layers * _N_PER_LAYER
-            par = rest[:n_par]
-            outs = rest[n_par:]
-            kernel(ts_r, ybar_r, tda_r, yrec_r, krec_r, misc_r,
-                   *(par + outs))
-
+        # kernel arg order matches the call layout exactly: records,
+        # params (+ table), grad outputs, x0bar (+ kbar scratch).
+        scratch = ([pltpu.VMEM((7 * D, bb), f32)] if stage_loop else [])
         results = pl.pallas_call(
-            kernel_wrap,
+            kernel,
             grid=(n_blocks,),
             out_shape=out_shapes,
             in_specs=in_specs,
             out_specs=out_specs,
+            scratch_shapes=scratch,
             interpret=interpret,
         )(*kernel_inputs)
         grads_flat = results[:-1]
@@ -719,14 +1005,16 @@ def pallas_kanfet_solve_train_sharded(params, cfg, x0s, ts, mesh, *,
 
 def pallas_kanfet_solve_train(params, cfg, x0s, ts, *, rtol=1e-7,
                               atol=1e-9, max_steps=256, block_b=512,
-                              interpret=None):
+                              interpret=None, stage_loop=None):
     """Differentiable whole-solve (see ``make_train_solver``).
 
     ``interpret=None`` auto-selects: Mosaic on TPU, interpret mode on the
     CPU backend (so the same model spec runs in the virtual-mesh tests).
+    ``stage_loop=None`` auto-selects looped RK stages for wide stacks.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     fn = make_train_solver(cfg, rtol=rtol, atol=atol, max_steps=max_steps,
-                           block_b=block_b, interpret=interpret)
+                           block_b=block_b, interpret=interpret,
+                           stage_loop=stage_loop)
     return fn(params, x0s, ts)

@@ -179,6 +179,30 @@ def test_driver_trains_in_pallas_mode(setup):
     assert losses[-1] < losses[0] * 0.9
 
 
+def test_stage_loop_matches_unrolled(setup):
+    """The stage-LOOPED kernels (fori over a runtime tableau table,
+    stage/kbar rows in VMEM scratch) must reproduce the unrolled kernels:
+    forward bit-exact, gradients to fp tolerance."""
+    spec, params, x0, ts, target, _ = setup
+    s_unroll = PA.make_train_solver(spec.kan, rtol=RTOL, atol=ATOL,
+                                    max_steps=MAX_STEPS, interpret=True,
+                                    stage_loop=False)
+    s_loop = PA.make_train_solver(spec.kan, rtol=RTOL, atol=ATOL,
+                                  max_steps=MAX_STEPS, interpret=True,
+                                  stage_loop=True)
+    a = s_unroll(params, x0, ts)
+    b = s_loop(params, x0, ts)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(s):
+        return lambda p: jnp.mean((s(p, x0, ts)[0] - target) ** 2)
+
+    fa, _ = jax.flatten_util.ravel_pytree(jax.grad(loss(s_unroll))(params))
+    fb, _ = jax.flatten_util.ravel_pytree(jax.grad(loss(s_loop))(params))
+    rel = float(jnp.linalg.norm(fa - fb) / jnp.linalg.norm(fa))
+    assert rel < 1e-5, rel
+
+
 def test_sharded_matches_single_device(setup):
     """shard_map over the 8-device 'data' axis: same predictions and
     parameter gradients (psum'd by the shard_map transpose) as the
