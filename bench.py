@@ -175,9 +175,12 @@ def bench_traj_training():
             time_mode(run.spec))
 
 
-def bench_ecg_ferro(state_dtype=""):
+def bench_ecg_ferro(state_dtype="", solver_mode="scan"):
     """ECG ferro MLP-NODE training epochs/sec (full ECG200-sized epoch:
-    100 samples, batch 8, dopri5 latent solve + grad + AdamW)."""
+    100 samples, batch 8, dopri5 latent solve + grad + AdamW).
+
+    ``solver_mode="pallas"``: whole-solve in-kernel discrete adjoint
+    (ops/pallas_ferro_node.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -185,7 +188,8 @@ def bench_ecg_ferro(state_dtype=""):
     from fetode_tpu.train.loop import init_state, make_minibatch_epoch
     from fetode_tpu.train.optim import make_optimizer
 
-    spec = M.KanFetMLPNODESpec(T=96, state_dtype=state_dtype)
+    spec = M.KanFetMLPNODESpec(T=96, state_dtype=state_dtype,
+                               solver_mode=solver_mode)
     key = jax.random.PRNGKey(0)
     params = M.kanfet_mlp_node_init(key, spec)
     x = jax.random.normal(key, (96, 96), jnp.float32)   # 12 batches of 8
@@ -234,25 +238,28 @@ def bench_diffusion_sampling():
     B = 64
     x_ctx = jax.random.normal(key, (B, spec.context_len, spec.num_features))
 
-    def timed(sampler):
+    def timed(sampler, n_samples=1):
         @jax.jit
         def sample(p, x_ctx, k):
             return diffusion_forecaster_sample(p, spec, sched, x_ctx, k,
-                                               sampler=sampler)
+                                               sampler=sampler,
+                                               n_samples=n_samples)
 
         # Warm thoroughly: past the first compiled call, dispatch/tunnel
         # costs keep dropping for a few invocations — time steady state.
         for i in range(5):
             _sync(sample(params, x_ctx,
-                         jax.random.fold_in(key, 100 + i))[0, 0])
+                         jax.random.fold_in(key, 100 + i)).ravel()[0])
         n_rep = 15
         t0 = time.perf_counter()
         for i in range(n_rep):
             out = sample(params, x_ctx, jax.random.fold_in(key, i))
-        _sync(out[0, 0])
-        return n_rep * B / (time.perf_counter() - t0)
+        _sync(out.ravel()[0])
+        return n_rep * n_samples * B / (time.perf_counter() - t0)
 
-    return timed("pallas"), timed("scan")
+    # n_samples=10 folds the reference's 10-sample eval averaging
+    # (kan_diffusion_ett.py:1133) into one gridded kernel launch
+    return timed("pallas"), timed("scan"), timed("pallas", n_samples=10)
 
 
 def main() -> None:
@@ -279,13 +286,16 @@ def main() -> None:
         "ecg_ferro_epochs_per_sec": round(bench_ecg_ferro(), 2),
         "ecg_ferro_bf16state_epochs_per_sec": round(
             bench_ecg_ferro("bfloat16"), 2),
+        "ecg_ferro_pallas_epochs_per_sec": round(
+            bench_ecg_ferro(solver_mode="pallas"), 2),
         "diffusion_samples_per_sec": None,      # filled below
         "baseline_cpu_sec_per_epoch": baseline_sec_per_epoch,
         "device": str(jax.devices()[0]),
     }
-    diff_pallas, diff_scan = bench_diffusion_sampling()
+    diff_pallas, diff_scan, diff_folded = bench_diffusion_sampling()
     extra["diffusion_samples_per_sec"] = round(diff_pallas, 1)
     extra["diffusion_scan_samples_per_sec"] = round(diff_scan, 1)
+    extra["diffusion_folded10_samples_per_sec"] = round(diff_folded, 1)
     # Convergence/parity evidence from the recorded full 10k-epoch run
     # (benchmarks/predprey_10k_run.json, produced on this chip).
     run_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -266,14 +266,11 @@ def diffusion_forecaster_sample(params, spec: DiffusionForecasterSpec,
     if sampler == "pallas":
         from fetode_tpu.ops.pallas_ddpm import pallas_eps_head_sample
 
-        def one(k):
-            return pallas_eps_head_sample(params["eps_head"], spec.eps_cfg,
-                                          sched, cond, k)
-
-        if n_samples == 1:
-            return one(key)
-        # lax.map (not vmap): sequential whole-chain kernels
-        return jax.lax.map(one, jax.random.split(key, n_samples))
+        # n_samples > 1 folds samples into the kernel's batch axis (one
+        # launch, gridded over batch blocks) — same per-sample PRNG
+        # layout as a lax.map of single-sample kernels
+        return pallas_eps_head_sample(params["eps_head"], spec.eps_cfg,
+                                      sched, cond, key, n_samples=n_samples)
 
     def one(k):
         # specialised chain: hoists the cond / t-emb first-layer matmuls

@@ -70,3 +70,32 @@ def test_forecaster_sample_pallas_multisample(setup):
     assert bool(jnp.all(jnp.isfinite(out)))
     # different samples differ (noise actually applied per sample)
     assert float(jnp.max(jnp.abs(out[0] - out[1]))) > 1e-6
+
+
+def test_pallas_multisample_fold_matches_map(setup):
+    """Folded sample×batch kernel == lax.map of single-sample kernels
+    (same per-sample PRNG layout, so bit-close)."""
+    spec, sched, params, x_ctx, cond = setup
+    key = jax.random.PRNGKey(11)
+    folded = pallas_eps_head_sample(params["eps_head"], spec.eps_cfg, sched,
+                                    cond, key, n_samples=4, interpret=True)
+    seq = jax.lax.map(
+        lambda k: pallas_eps_head_sample(params["eps_head"], spec.eps_cfg,
+                                         sched, cond, k, interpret=True),
+        jax.random.split(key, 4))
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(seq),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_batch_blocking_matches_single_block(setup):
+    """Grid-over-batch path (block_b < rows, incl. a ragged last block)
+    == whole-batch single-block kernel."""
+    spec, sched, params, x_ctx, cond = setup
+    key = jax.random.PRNGKey(12)
+    whole = pallas_eps_head_sample(params["eps_head"], spec.eps_cfg, sched,
+                                   cond, key, n_samples=5, interpret=True)
+    blocked = pallas_eps_head_sample(params["eps_head"], spec.eps_cfg, sched,
+                                     cond, key, n_samples=5, block_b=8,
+                                     interpret=True)  # 25 rows -> 4 blocks
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(whole),
+                               rtol=1e-5, atol=1e-5)
