@@ -220,9 +220,20 @@ def kanfet_mlp_node_field(params, spec: KanFetMLPNODESpec, t, h, states,
 
 def kanfet_mlp_node_apply(params, spec: KanFetMLPNODESpec, x, *,
                           noise_key=None):
-    """x (B, T) -> logits. One batched solve (no per-sample loop)."""
+    """x (B, T) -> logits. One batched solve (no per-sample loop).
+
+    ``solver_mode="pallas"`` routes the latent solve through the
+    whole-solve in-kernel discrete adjoint (ops/pallas_ferro_node.py;
+    clean dopri5 configs only — device noise falls back to XLA).
+    """
     B = x.shape[0]
     h0 = x @ params["encoder_w"].T + params["encoder_b"]
+    if (spec.solver_mode == "pallas" and spec.solver == "dopri5"
+            and spec.noise_std == 0.0):
+        from fetode_tpu.ops.pallas_ferro_node import pallas_ferro_node_solve
+
+        hT = pallas_ferro_node_solve(params["fc1"], params["fc2"], h0, spec)
+        return hT @ params["cls_w"].T + params["cls_b"]
     sdt = jnp.dtype(spec.state_dtype) if spec.state_dtype else x.dtype
     states = (ferro_state_init((B,), spec.fc1_cfg, sdt),
               ferro_state_init((B,), spec.fc2_cfg, sdt))
@@ -233,8 +244,9 @@ def kanfet_mlp_node_apply(params, spec: KanFetMLPNODESpec, x, *,
 
     if spec.solver == "dopri5":
         ts = jnp.asarray([0.0, 1.0], x.dtype)
+        mode = "scan" if spec.solver_mode == "pallas" else spec.solver_mode
         traj = odeint_dopri5(rhs, h0, ts, rtol=spec.rtol, atol=spec.atol,
-                             max_steps=spec.max_steps, mode=spec.solver_mode)
+                             max_steps=spec.max_steps, mode=mode)
         hT = traj[-1]
     else:
         hT = integrate_final(rhs, h0, 0.0, 1.0, method=spec.solver,
