@@ -217,6 +217,44 @@ def bench_ecg_ferro(state_dtype="", solver_mode="scan"):
     return n_epochs / (time.perf_counter() - t0)
 
 
+def bench_ecg_logistic(solver_mode="scan"):
+    """ECG KanFetNODE (logistic 'plain' field) training epochs/sec —
+    same protocol as bench_ecg_ferro; "pallas" = whole-solve in-kernel
+    adjoint (ops/pallas_logistic_node.py)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fetode_tpu.models import ecg as M
+    from fetode_tpu.train.loop import init_state, make_minibatch_epoch
+    from fetode_tpu.train.optim import make_optimizer
+
+    spec = M.KanFetNODESpec(T=96, solver_mode=solver_mode)
+    key = jax.random.PRNGKey(0)
+    params = M.kanfet_node_init(key, spec)
+    x = jax.random.normal(key, (96, 96), jnp.float32)
+    y = jax.random.bernoulli(key, 0.5, (96,)).astype(jnp.int32)
+    batches = (x.reshape(12, 8, 96), y.reshape(12, 8))
+
+    def loss_fn(p, k, xb, yb):
+        logits = M.kanfet_node_apply(p, spec, xb)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, yb).mean()
+
+    tx = make_optimizer(1e-3, kind="adamw", weight_decay=1e-4,
+                        grad_clip=1.0, params=params)
+    state = init_state(params, tx)
+    epoch_fn = make_minibatch_epoch(loss_fn, tx, keyed=True)
+    state, losses = epoch_fn(state, key, batches)
+    _sync(losses[-1])
+    n_epochs = 30
+    t0 = time.perf_counter()
+    for i in range(n_epochs):
+        state, losses = epoch_fn(state, jax.random.fold_in(key, i), batches)
+    _sync(losses[-1])
+    return n_epochs / (time.perf_counter() - t0)
+
+
 def bench_diffusion_sampling():
     """DDPM forecast sampling (200 sequential denoise steps — the
     reference's self-reported pain point, kan_diffusion_ett.py:749)."""
@@ -288,6 +326,10 @@ def main() -> None:
             bench_ecg_ferro("bfloat16"), 2),
         "ecg_ferro_pallas_epochs_per_sec": round(
             bench_ecg_ferro(solver_mode="pallas"), 2),
+        "ecg_logistic_node_pallas_epochs_per_sec": round(
+            bench_ecg_logistic(solver_mode="pallas"), 2),
+        "ecg_logistic_node_epochs_per_sec": round(
+            bench_ecg_logistic(), 2),
         "diffusion_samples_per_sec": None,      # filled below
         "baseline_cpu_sec_per_epoch": baseline_sec_per_epoch,
         "device": str(jax.devices()[0]),

@@ -24,8 +24,10 @@ from fetode_tpu.train.ecg_driver import ECGRun, train_ecg_model  # noqa: E402
 
 
 def builders(name, T, num_classes):
-    if name == "kanfet_node":
-        spec = M.KanFetNODESpec(T=T, num_classes=num_classes)
+    if name in ("kanfet_node", "kanfet_node_pallas"):
+        mode = "pallas" if name.endswith("pallas") else "scan"
+        spec = M.KanFetNODESpec(T=T, num_classes=num_classes,
+                                solver_mode=mode)
         return (lambda k: M.kanfet_node_init(k, spec),
                 lambda p, x, key: M.kanfet_node_apply(p, spec, x))
     if name in ("kanfet_mlp_node", "kanfet_mlp_node_pallas"):
@@ -43,8 +45,9 @@ def builders(name, T, num_classes):
 
 
 def main():
-    names = sys.argv[1:] or ["kanfet_node", "kanfet_mlp_node",
-                             "kanfet_mlp_node_pallas", "digital_rnn"]
+    names = sys.argv[1:] or ["kanfet_node", "kanfet_node_pallas",
+                             "kanfet_mlp_node", "kanfet_mlp_node_pallas",
+                             "digital_rnn"]
     x_train, y_train, x_test, y_test = load_ecg200()
     data = (x_train, y_train, x_test, y_test)
     T = x_train.shape[1]

@@ -132,16 +132,28 @@ def kanfet_node_field(params, spec: KanFetNODESpec, t, h):
 
 
 def kanfet_node_apply(params, spec: KanFetNODESpec, x):
-    """x (B, T) -> logits (B, num_classes); latent NODE over [0, 1]."""
+    """x (B, T) -> logits (B, num_classes); latent NODE over [0, 1].
+
+    ``solver_mode="pallas"`` on the 'plain' field routes the latent
+    solve through the whole-solve in-kernel discrete adjoint
+    (ops/pallas_logistic_node.py)."""
     h0 = x @ params["encoder_w"].T + params["encoder_b"]
     ts = jnp.asarray([0.0, 1.0], x.dtype)
 
     def rhs(t, h):
         return kanfet_node_field(params, spec, t, h)
 
-    if spec.solver == "dopri5":
+    if (spec.solver_mode == "pallas" and spec.solver == "dopri5"
+            and spec.field == "plain"):
+        from fetode_tpu.ops.pallas_logistic_node import (
+            pallas_logistic_node_solve,
+        )
+
+        hT = pallas_logistic_node_solve(params, h0, spec)
+    elif spec.solver == "dopri5":
+        mode = "scan" if spec.solver_mode == "pallas" else spec.solver_mode
         traj = odeint_dopri5(rhs, h0, ts, rtol=spec.rtol, atol=spec.atol,
-                             max_steps=spec.max_steps, mode=spec.solver_mode)
+                             max_steps=spec.max_steps, mode=mode)
         hT = jax.tree_util.tree_map(lambda a: a[-1], traj)
     else:
         hT = integrate_final(rhs, h0, 0.0, 1.0, method=spec.solver, n_steps=8)

@@ -23,21 +23,16 @@ kernel flips the layout:
 * batch is a short in-kernel ``fori_loop``: each iteration processes one
   sample's full (out, in*K) elementwise ferro block.
 
-Step control is GLOBAL (one dt for the whole batch), matching the XLA
-path exactly: ``kanfet_mlp_node_apply`` calls ``odeint_dopri5`` on the
-(B, D) state, whose error norm reduces over all elements
-(solvers/rk_common.py: error_norm).  Only the final state is returned
-(the ECG solve evaluates ts=[0, 1] and keeps ``traj[-1]``), so there is
-no dense-output machinery — the backward's lambda starts at the
-final-state cotangent.
+The dopri5 solve/replay scaffolding (global step control matching the
+XLA path's error norm, frozen-mesh discrete adjoint) lives in
+``ops/pallas_node_common.py``; this module contributes the field and its
+hand VJP.  Only the final state is returned (the ECG solve evaluates
+ts=[0, 1] and keeps ``traj[-1]``).
 
-Semantics: discrete adjoint on the frozen attempt mesh, exactly as
-``ops/pallas_adjoint.py`` (gradients through the PI controller chain are
-dropped).  Hysteresis state is fresh-and-frozen during the solve
-(prev_x=0, branch=+1), which collapses the branch target to
-``1 - 2*(1-mu)*cn`` — see ``_ferro_rows``.  Device noise
-(``noise_std > 0``) is not supported here; callers fall back to the XLA
-path.
+Hysteresis state is fresh-and-frozen during the solve (prev_x=0,
+branch=+1), which collapses the branch target to ``1 - 2*(1-mu)*cn`` —
+see ``_ferro_rows``.  Device noise (``noise_std > 0``) is not supported
+here; callers fall back to the XLA path.
 
 Field math citations: ops/ferro.py:113-187 (ferro basis + contraction),
 models/ecg.py:202-218 (tanh bound / tanh link / nan scrub / slope clamp
@@ -53,43 +48,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fetode_tpu.solvers.tableaux import DOPRI5
-
-_ORDER = 5
-_BETA = 0.04
-_ALPHA = 1.0 / _ORDER - 0.75 * _BETA
-_SAFETY = 0.9
-_IFACTOR = 10.0
-_DFACTOR = 0.2
+from fetode_tpu.ops.pallas_node_common import (
+    _dot,
+    adaptive_solve_final,
+    adjoint_replay,
+    tableau_table,
+)
 
 _N_PRM = 5   # fk, fec, fps, fbias, fcoef — each (out, in*K)
-
-
-def _dot(a, b, ca, cb):
-    """f32 MXU dot (see ops/pallas_adjoint.py: _dot for why HIGHEST)."""
-    return jax.lax.dot_general(a, b, (((ca,), (cb,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
-
-
-def _pow(x, p):
-    """x**p for positive x — Mosaic cannot legalize SCALAR math.powf
-    (this kernel's step control is global, so err/dt are 0-d)."""
-    return jnp.exp(p * jnp.log(x))
-
-
-def _tableau_table():
-    """(7, 9) runtime dopri5 table: cols 0..5 = A[j][:6], 7 = b_j,
-    8 = b_err_j (no dense column — final state only)."""
-    import numpy as np
-
-    tab = np.zeros((7, 9), np.float32)
-    for j in range(7):
-        for l, a in enumerate(DOPRI5.a[j][:j]):
-            tab[j, l] = a
-        tab[j, 7] = DOPRI5.b[j]
-        tab[j, 8] = DOPRI5.b_err[j]
-    return jnp.asarray(tab)
 
 
 def _ferro_rows(xf, prm, gate_slope, alpha):
@@ -155,94 +121,9 @@ def _make_fwd_kernel(dims1, dims2, B, D, hidden, gate_slope, alpha,
             jax.lax.fori_loop(0, B, b2, 0)
             return jnp.clip(dh_buf[:], -dh_clip, dh_clip)  # (B, D)
 
-        y0 = h0_ref[:]
-        tiny = jnp.float32(1e-12)
-        t_final = jnp.float32(1.0)
-        tda_ref[:] = jnp.zeros_like(tda_ref)
-        ks_buf[:] = jnp.zeros_like(ks_buf)
-
-        f0 = field(y0)
-
-        def rms(v, ref):
-            s = atol + rtol * jnp.abs(ref)
-            return jnp.sqrt(jnp.mean((v / s) ** 2))
-
-        d0 = rms(y0, y0)
-        d1 = rms(f0, y0)
-        h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6,
-                       0.01 * d0 / jnp.maximum(d1, 1e-30))
-        f1i = field(y0 + h0 * f0)
-        d2 = rms(f1i - f0, y0) / h0
-        dmax = jnp.maximum(d1, d2)
-        h1 = jnp.where(dmax <= 1e-15, jnp.maximum(1e-6, h0 * 1e-3),
-                       _pow(0.01 / jnp.maximum(dmax, 1e-30),
-                            1.0 / (_ORDER + 1)))
-        dt0 = jnp.minimum(jnp.minimum(100.0 * h0, h1), t_final)
-
-        def body(carry):
-            m, t, dt, errp, y, fv = carry
-            finished = t >= t_final - tiny
-            dt = jnp.where(finished, 0.0, jnp.minimum(dt, t_final - t))
-            dt_safe = jnp.where(dt == 0.0, 1.0, dt)
-
-            # ---- stage loop (k1 = FSAL carry seeds row 0)
-            ks_buf[pl.ds(0, B)] = fv
-            row0 = tab_ref[pl.ds(0, 1), :]
-            acc0 = (y + (dt * row0[0, 7]) * fv, row0[0, 8] * fv)
-
-            def stage(j, acc):
-                y1a, yea = acc
-                row = tab_ref[pl.ds(j, 1), :]
-                incr = row[0, 0] * ks_buf[pl.ds(0, B)]
-                for l in range(1, 6):
-                    incr = incr + row[0, l] * ks_buf[pl.ds(l * B, B)]
-                kj = field(y + dt * incr)
-                ks_buf[pl.ds(j * B, B)] = kj
-                return (y1a + (dt * row[0, 7]) * kj, yea + row[0, 8] * kj)
-
-            y1, yerr_s = jax.lax.fori_loop(1, 7, stage, acc0)
-            yerr = dt * yerr_s
-            k7 = ks_buf[pl.ds(6 * B, B)]
-
-            scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
-            err = jnp.sqrt(jnp.mean((yerr / scale) ** 2))
-            err = jnp.maximum(err, 1e-10)
-            accept = (err <= 1.0) | finished
-
-            fac_pi = _SAFETY * _pow(err, -_ALPHA) * _pow(errp, _BETA)
-            fac_acc = jnp.clip(fac_pi, _DFACTOR, _IFACTOR)
-            fac_rej = jnp.clip(_SAFETY * _pow(err, -1.0 / _ORDER),
-                               _DFACTOR, 1.0)
-            dt_next = jnp.where(finished, 0.0,
-                                dt_safe * jnp.where(accept, fac_acc,
-                                                    fac_rej))
-            t_new = jnp.where(accept, t + dt, t)
-            adv = accept & ~finished
-
-            # ---- attempt records (the frozen mesh the backward replays)
-            rec = jnp.stack([dt, adv.astype(jnp.float32), t,
-                             jnp.float32(0.0)])[None, :]
-            tda_ref[pl.ds(m, 1), :] = rec
-            yrec_ref[pl.ds(m, 1)] = y[None]
-            krec_ref[pl.ds(m, 1)] = ks_buf[:].reshape(7, B, D)[None]
-
-            return (m + 1, t_new, dt_next,
-                    jnp.where(adv, err, errp),
-                    jnp.where(adv, y1, y),
-                    jnp.where(adv, k7, fv))
-
-        def cond(carry):
-            m, t = carry[0], carry[1]
-            return (m < max_steps) & (t < t_final - tiny)
-
-        m, t, dt, errp, y, fv = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.float32(0.0), dt0,
-                         jnp.float32(1.0), y0, f0))
-
-        out_ref[:] = y
-        misc_ref[:] = jnp.stack(
-            [m.astype(jnp.float32), t, jnp.float32(0.0),
-             jnp.float32(0.0)])[None, :]
+        adaptive_solve_final(field, h0_ref[:], tab_ref, out_ref, tda_ref,
+                             yrec_ref, krec_ref, misc_ref, ks_buf, B, D,
+                             max_steps, rtol, atol)
 
     return kernel
 
@@ -353,40 +234,9 @@ def _make_bwd_kernel(dims1, dims2, B, D, hidden, gate_slope, alpha,
             # bound chain: d hb/du = 1 - (hb/h_bound)^2
             return ub_buf[:] * (1.0 - (hb * inv_hb) ** 2)
 
-        lam = ybar_ref[:]                                    # (B, D)
-
-        def body(carry):
-            m, lam = carry
-            mm = m - 1
-            rec = tda_ref[pl.ds(mm, 1), :]
-            dt = rec[0, 0]
-            adv = rec[0, 1]
-            y = yrec_ref[pl.ds(mm, 1)][0]                    # (B, D)
-            ksall = krec_ref[pl.ds(mm, 1)][0].reshape(7 * B, D)
-
-            lam_m = adv * lam
-            for j in range(7):
-                kbar_buf[pl.ds(j * B, B)] = (
-                    dt * DOPRI5.b[j]) * lam_m
-
-            def rev_stage(i, ybar_m):
-                j = 6 - i
-                row = tab_ref[pl.ds(j, 1), :]
-                incr = row[0, 0] * ksall[0:B]
-                for l in range(1, 6):
-                    incr = incr + row[0, l] * ksall[l * B:(l + 1) * B]
-                u = y + dt * incr
-                ub = field_vjp(u, kbar_buf[pl.ds(j * B, B)])
-                for l in range(6):
-                    kbar_buf[pl.ds(l * B, B)] += (dt * row[0, l]) * ub
-                return ybar_m + ub
-
-            ybar_m = jax.lax.fori_loop(0, 7, rev_stage, lam_m)
-            lam = jnp.where(adv > 0.5, ybar_m, lam)
-            return (mm, lam)
-
-        _, lam = jax.lax.while_loop(lambda c: c[0] > 0, body, (n_att, lam))
-        h0bar_ref[:] = lam
+        h0bar_ref[:] = adjoint_replay(field_vjp, ybar_ref[:], tab_ref,
+                                      tda_ref, yrec_ref, krec_ref, n_att,
+                                      kbar_buf, B, D)
 
     return kernel
 
@@ -443,7 +293,7 @@ def make_ferro_node_solver(dims1, dims2, gate_slope=10.0, alpha=0.8,
         flat, r1, r2 = _prep(fc1, fc2)
         kernel = _make_fwd_kernel(dims1, dims2, B, D, hidden, gate_slope,
                                   alpha, h_bound, dh_clip, M, rtol, atol)
-        inputs = [h0.astype(f32), _tableau_table(), r1, r2] + flat
+        inputs = [h0.astype(f32), tableau_table(), r1, r2] + flat
         out_shapes = [
             jax.ShapeDtypeStruct((B, D), f32),           # hT
             jax.ShapeDtypeStruct((M, 4), f32),           # dt/adv/t records
@@ -473,7 +323,7 @@ def make_ferro_node_solver(dims1, dims2, gate_slope=10.0, alpha=0.8,
         kernel = _make_bwd_kernel(dims1, dims2, B, D, hidden, gate_slope,
                                   alpha, h_bound, dh_clip, M)
         inputs = [ct.astype(f32), tda, yrec, krec, misc,
-                  _tableau_table(), r1, r2] + flat
+                  tableau_table(), r1, r2] + flat
         out_shapes = (
             [jax.ShapeDtypeStruct((out1, in1 * K1), f32)] * _N_PRM
             + [jax.ShapeDtypeStruct((out2, in2 * K2), f32)] * _N_PRM

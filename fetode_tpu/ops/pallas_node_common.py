@@ -1,0 +1,200 @@
+"""Shared in-kernel dopri5 scaffolding for whole-solve NODE kernels with
+(B, D) state layout and GLOBAL (batch-shared) step control.
+
+Two building blocks, both called INSIDE a Pallas kernel body:
+
+* :func:`adaptive_solve_final` — the forward adaptive solve of t in
+  [0, 1] with per-attempt records (the frozen mesh), returning only the
+  final state (classification-style latent NODEs evaluate ts=[0,1] and
+  keep ``traj[-1]``);
+* :func:`adjoint_replay` — the reverse walk over recorded attempts that
+  turns a hand-written field VJP into the discrete adjoint.
+
+A field plugs in as a pair of callables ``field(y) -> dy`` and
+``field_vjp(u, w) -> ubar`` (the latter accumulating parameter gradients
+into VMEM refs it closes over).  `ops/pallas_ferro_node.py` (the ECG
+ferro MLP field) and `ops/pallas_logistic_node.py` (the logistic-mixer
+field) are the instantiations; solver math mirrors
+`solvers/dopri5.py` / `ops/pallas_adjoint.py` (Hairer init step, PI
+controller, FSAL) so the step mesh matches the XLA path's.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from fetode_tpu.solvers.tableaux import DOPRI5
+
+_ORDER = 5
+_BETA = 0.04
+_ALPHA = 1.0 / _ORDER - 0.75 * _BETA
+_SAFETY = 0.9
+_IFACTOR = 10.0
+_DFACTOR = 0.2
+
+
+def _dot(a, b, ca, cb):
+    """f32 MXU dot (see ops/pallas_adjoint.py: _dot for why HIGHEST)."""
+    return jax.lax.dot_general(a, b, (((ca,), (cb,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _pow(x, p):
+    """x**p for positive x — Mosaic cannot legalize SCALAR math.powf
+    (global step control makes err/dt 0-d here)."""
+    return jnp.exp(p * jnp.log(x))
+
+
+def tableau_table():
+    """(7, 9) runtime dopri5 table: cols 0..5 = A[j][:6], 7 = b_j,
+    8 = b_err_j (no dense column — final state only)."""
+    import numpy as np
+
+    tab = np.zeros((7, 9), np.float32)
+    for j in range(7):
+        for l, a in enumerate(DOPRI5.a[j][:j]):
+            tab[j, l] = a
+        tab[j, 7] = DOPRI5.b[j]
+        tab[j, 8] = DOPRI5.b_err[j]
+    return jnp.asarray(tab)
+
+
+def adaptive_solve_final(field, y0, tab_ref, out_ref, tda_ref, yrec_ref,
+                         krec_ref, misc_ref, ks_buf, B, D, max_steps,
+                         rtol, atol):
+    """Adaptive dopri5 over t in [0, 1]; records every attempt.
+
+    Record layout: ``tda`` (max_steps, 4) rows = [dt, advanced, t, 0];
+    ``yrec`` (max_steps, B, D); ``krec`` (max_steps, 7, B, D);
+    ``misc`` (1, 4) = [n_attempts, t_end, 0, 0]; ``ks_buf`` scratch
+    (7*B, D).  Writes the final state into ``out_ref``.
+    """
+    tiny = jnp.float32(1e-12)
+    t_final = jnp.float32(1.0)
+    tda_ref[:] = jnp.zeros_like(tda_ref)
+    ks_buf[:] = jnp.zeros_like(ks_buf)
+
+    f0 = field(y0)
+
+    def rms(v, ref):
+        s = atol + rtol * jnp.abs(ref)
+        return jnp.sqrt(jnp.mean((v / s) ** 2))
+
+    d0 = rms(y0, y0)
+    d1 = rms(f0, y0)
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6,
+                   0.01 * d0 / jnp.maximum(d1, 1e-30))
+    f1i = field(y0 + h0 * f0)
+    d2 = rms(f1i - f0, y0) / h0
+    dmax = jnp.maximum(d1, d2)
+    h1 = jnp.where(dmax <= 1e-15, jnp.maximum(1e-6, h0 * 1e-3),
+                   _pow(0.01 / jnp.maximum(dmax, 1e-30),
+                        1.0 / (_ORDER + 1)))
+    dt0 = jnp.minimum(jnp.minimum(100.0 * h0, h1), t_final)
+
+    def body(carry):
+        m, t, dt, errp, y, fv = carry
+        finished = t >= t_final - tiny
+        dt = jnp.where(finished, 0.0, jnp.minimum(dt, t_final - t))
+        dt_safe = jnp.where(dt == 0.0, 1.0, dt)
+
+        # ---- stage loop (k1 = FSAL carry seeds row 0)
+        ks_buf[pl.ds(0, B)] = fv
+        row0 = tab_ref[pl.ds(0, 1), :]
+        acc0 = (y + (dt * row0[0, 7]) * fv, row0[0, 8] * fv)
+
+        def stage(j, acc):
+            y1a, yea = acc
+            row = tab_ref[pl.ds(j, 1), :]
+            incr = row[0, 0] * ks_buf[pl.ds(0, B)]
+            for l in range(1, 6):
+                incr = incr + row[0, l] * ks_buf[pl.ds(l * B, B)]
+            kj = field(y + dt * incr)
+            ks_buf[pl.ds(j * B, B)] = kj
+            return (y1a + (dt * row[0, 7]) * kj, yea + row[0, 8] * kj)
+
+        y1, yerr_s = jax.lax.fori_loop(1, 7, stage, acc0)
+        yerr = dt * yerr_s
+        k7 = ks_buf[pl.ds(6 * B, B)]
+
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
+        err = jnp.sqrt(jnp.mean((yerr / scale) ** 2))
+        err = jnp.maximum(err, 1e-10)
+        accept = (err <= 1.0) | finished
+
+        fac_pi = _SAFETY * _pow(err, -_ALPHA) * _pow(errp, _BETA)
+        fac_acc = jnp.clip(fac_pi, _DFACTOR, _IFACTOR)
+        fac_rej = jnp.clip(_SAFETY * _pow(err, -1.0 / _ORDER),
+                           _DFACTOR, 1.0)
+        dt_next = jnp.where(finished, 0.0,
+                            dt_safe * jnp.where(accept, fac_acc, fac_rej))
+        t_new = jnp.where(accept, t + dt, t)
+        adv = accept & ~finished
+
+        # ---- attempt records (the frozen mesh the backward replays)
+        rec = jnp.stack([dt, adv.astype(jnp.float32), t,
+                         jnp.float32(0.0)])[None, :]
+        tda_ref[pl.ds(m, 1), :] = rec
+        yrec_ref[pl.ds(m, 1)] = y[None]
+        krec_ref[pl.ds(m, 1)] = ks_buf[:].reshape(7, B, D)[None]
+
+        return (m + 1, t_new, dt_next,
+                jnp.where(adv, err, errp),
+                jnp.where(adv, y1, y),
+                jnp.where(adv, k7, fv))
+
+    def cond(carry):
+        m, t = carry[0], carry[1]
+        return (m < max_steps) & (t < t_final - tiny)
+
+    m, t, dt, errp, y, fv = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.float32(0.0), dt0,
+                     jnp.float32(1.0), y0, f0))
+
+    out_ref[:] = y
+    misc_ref[:] = jnp.stack(
+        [m.astype(jnp.float32), t, jnp.float32(0.0),
+         jnp.float32(0.0)])[None, :]
+
+
+def adjoint_replay(field_vjp, lam, tab_ref, tda_ref, yrec_ref, krec_ref,
+                   n_att, kbar_buf, B, D):
+    """Reverse walk over recorded attempts: the discrete adjoint on the
+    frozen mesh.  ``lam`` is the final-state cotangent (B, D); returns
+    the initial-state cotangent.  ``field_vjp(u, w) -> ubar`` must
+    accumulate parameter gradients into refs it closes over.
+    """
+    def body(carry):
+        m, lam = carry
+        mm = m - 1
+        rec = tda_ref[pl.ds(mm, 1), :]
+        dt = rec[0, 0]
+        adv = rec[0, 1]
+        y = yrec_ref[pl.ds(mm, 1)][0]                    # (B, D)
+        ksall = krec_ref[pl.ds(mm, 1)][0].reshape(7 * B, D)
+
+        lam_m = adv * lam
+        for j in range(7):
+            kbar_buf[pl.ds(j * B, B)] = (dt * DOPRI5.b[j]) * lam_m
+
+        def rev_stage(i, ybar_m):
+            j = 6 - i
+            row = tab_ref[pl.ds(j, 1), :]
+            incr = row[0, 0] * ksall[0:B]
+            for l in range(1, 6):
+                incr = incr + row[0, l] * ksall[l * B:(l + 1) * B]
+            u = y + dt * incr
+            ub = field_vjp(u, kbar_buf[pl.ds(j * B, B)])
+            for l in range(6):
+                kbar_buf[pl.ds(l * B, B)] += (dt * row[0, l]) * ub
+            return ybar_m + ub
+
+        ybar_m = jax.lax.fori_loop(0, 7, rev_stage, lam_m)
+        lam = jnp.where(adv > 0.5, ybar_m, lam)
+        return (mm, lam)
+
+    _, lam = jax.lax.while_loop(lambda c: c[0] > 0, body, (n_att, lam))
+    return lam
