@@ -367,6 +367,32 @@ def make_ferro_node_solver(dims1, dims2, gate_slope=10.0, alpha=0.8,
     return solve
 
 
+def pallas_ferro_node_solve_sharded(fc1, fc2, h0, spec, mesh, *,
+                                    axis="data", interpret=None):
+    """Data-parallel whole-solve over a device mesh: each device runs the
+    in-kernel adjoint on its batch shard (``shard_map`` over ``axis``);
+    parameters are replicated and the shard_map transpose psums their
+    gradients.  ``h0`` batch must divide the axis size."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    from jax.sharding import PartitionSpec as P
+
+    if h0.shape[0] % mesh.shape[axis]:
+        raise ValueError(f"batch {h0.shape[0]} not divisible by "
+                         f"{axis}={mesh.shape[axis]}")
+    c1, c2 = spec.fc1_cfg, spec.fc2_cfg
+    fn = make_ferro_node_solver(
+        (c1.in_dim, c1.out_dim, c1.num_basis),
+        (c2.in_dim, c2.out_dim, c2.num_basis),
+        gate_slope=c1.gate_slope, alpha=c1.alpha, h_bound=spec.h_bound,
+        dh_clip=spec.dh_clip, rtol=spec.rtol, atol=spec.atol,
+        max_steps=spec.max_steps, interpret=interpret)
+    solve = jax.shard_map(lambda a, b, h: fn(a, b, h), mesh=mesh,
+                          in_specs=(P(), P(), P(axis)), out_specs=P(axis),
+                          check_vma=False)
+    return solve(fc1, fc2, h0)
+
+
 def pallas_ferro_node_solve(fc1, fc2, h0, spec, *, interpret=None):
     """Solve the ``KanFetMLPNODESpec`` latent ODE with the in-kernel
     adjoint.  ``spec`` must be a clean dopri5 config (``noise_std == 0``).

@@ -170,6 +170,29 @@ def make_logistic_node_solver(D, K, rtol=1e-2, atol=1e-3, max_steps=16,
     return solve
 
 
+def pallas_logistic_node_solve_sharded(params, h0, spec, mesh, *,
+                                       axis="data", interpret=None):
+    """Data-parallel whole-solve over a device mesh (see
+    pallas_ferro_node.pallas_ferro_node_solve_sharded)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    from jax.sharding import PartitionSpec as P
+
+    if h0.shape[0] % mesh.shape[axis]:
+        raise ValueError(f"batch {h0.shape[0]} not divisible by "
+                         f"{axis}={mesh.shape[axis]}")
+    fn = make_logistic_node_solver(spec.latent_dim, spec.num_basis,
+                                   rtol=spec.rtol, atol=spec.atol,
+                                   max_steps=spec.max_steps,
+                                   interpret=interpret)
+    solve = jax.shard_map(
+        lambda m, w, b, h: fn(m, w, b, h), mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis)), out_specs=P(axis),
+        check_vma=False)
+    return solve(params["field_mixer"], params["proj_w"], params["proj_b"],
+                 h0)
+
+
 def pallas_logistic_node_solve(params, h0, spec, *, interpret=None):
     """Solve the ``KanFetNODESpec`` (field='plain') latent ODE with the
     in-kernel adjoint.  ``params`` is the model param dict (uses

@@ -110,3 +110,39 @@ def test_noise_falls_back_to_xla(setup):
     out = kanfet_mlp_node_apply(params, ns, x,
                                 noise_key=jax.random.PRNGKey(4))
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_sharded_matches_per_shard_solves(setup):
+    """shard_map over the 8-device 'data' axis == concatenated per-shard
+    kernel solves (the kernel's step control is batch-global, so the
+    sharded result is defined per shard), and parameter grads == the
+    psum of per-shard grads."""
+    import jax.flatten_util
+    from fetode_tpu.ops.pallas_ferro_node import (
+        pallas_ferro_node_solve_sharded,
+    )
+    from fetode_tpu.parallel import make_mesh
+
+    spec, params, _ = setup
+    mesh = make_mesh(8)
+    h0 = jax.random.normal(jax.random.PRNGKey(5), (8, spec.latent_dim))
+
+    def loss_sharded(fp):
+        out = pallas_ferro_node_solve_sharded(fp["fc1"], fp["fc2"], h0,
+                                              spec, mesh)
+        return jnp.sum(out ** 2)
+
+    def loss_pershard(fp):
+        outs = [pallas_ferro_node_solve(fp["fc1"], fp["fc2"],
+                                        h0[i:i + 1], spec)
+                for i in range(8)]
+        return jnp.sum(jnp.concatenate(outs) ** 2)
+
+    sub = {"fc1": params["fc1"], "fc2": params["fc2"]}
+    l1, g1 = jax.value_and_grad(loss_sharded)(sub)
+    l2, g2 = jax.value_and_grad(loss_pershard)(sub)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    f2, _ = jax.flatten_util.ravel_pytree(g2)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
+                               rtol=1e-4, atol=1e-6)
