@@ -18,6 +18,8 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 
@@ -49,7 +51,8 @@ def _extrap_mse(params, spec):
 
 
 def run_two_stage(epochs1=10_000, epochs2=5_000, anchor_k=2, select_k=0,
-                  solver_mode="scan", tag=None):
+                  solver_mode="scan", dense_anchor=0, stage2_scan=False,
+                  jitter=False, consistent=False, tag=None):
     """Two-stage flagship: (1) plain 35-point window fit (the reference's
     exact objective), then (2) periodicity-anchored fine-tune at lower lr —
     the window is already fit, stage 2 only has to correct the learned
@@ -64,15 +67,21 @@ def run_two_stage(epochs1=10_000, epochs2=5_000, anchor_k=2, select_k=0,
         from fetode_tpu.models.predprey import PredPreyNODE
         spec = PredPreyNODE.kanfet(max_steps=256)._replace(
             solver_mode=solver_mode)
-    run1 = PredPreyRun(epochs=epochs1, spec=spec)
+    run1 = PredPreyRun(epochs=epochs1, spec=spec,
+                       consistent_time_base=consistent)
     p1, h1 = train_predprey(run1, log=None)
-    run2 = PredPreyRun(epochs=epochs2, lr=5e-4, spec=spec,
-                       phase_anchor_periods=anchor_k, init_params=p1,
-                       select_anchor_k=select_k)
+    spec2 = None if (spec is None or stage2_scan) else spec
+    cycles = tuple(range(1, anchor_k + 1)) if dense_anchor else ()
+    run2 = PredPreyRun(epochs=epochs2, lr=5e-4, spec=spec2,
+                       phase_anchor_periods=0 if cycles else anchor_k,
+                       anchor_cycles=cycles, init_params=p1,
+                       select_anchor_k=select_k, dense_anchor=dense_anchor,
+                       jitter_anchor=jitter, consistent_time_base=consistent)
     p2, h2 = train_predprey(run2, log=None)
     out = {
         "anchor_k": anchor_k,
         "select_k": select_k,
+        "dense_anchor": dense_anchor,
         "solver_mode": solver_mode,
         "stage1_final_train": h1["train"][-1],
         "stage1_final_test_extrap": h1["test"][-1],
@@ -172,6 +181,35 @@ def main():
         elif name == "two_stage_selected":
             results[name] = run_two_stage(select_k=3, solver_mode="pallas",
                                           tag="two_stage_selected")
+        elif name == "two_stage_consistent":
+            # Consistent fit-window time base (the measured root cause of
+            # the 0.037 floor: the reference hands the solver times 2.2%
+            # slower than the times its targets were sampled at — see
+            # PredPreyRun.consistent_time_base).  Same two-stage anchored
+            # recipe as two_stage_dense, clock fixed.
+            results[name] = run_two_stage(anchor_k=3, dense_anchor=4,
+                                          solver_mode="pallas",
+                                          stage2_scan=True, consistent=True,
+                                          tag="two_stage_consistent")
+        elif name == "two_stage_jitter":
+            # Stochastic collocation: dense spline targets at FRESH
+            # jittered times every call — the measured fix for
+            # collocation overfitting (dense_anchor_diag.json: fixed-grid
+            # anchored MSE 0.002 vs offset-grid 0.044).
+            results[name] = run_two_stage(anchor_k=3, dense_anchor=4,
+                                          solver_mode="pallas",
+                                          stage2_scan=True, jitter=True,
+                                          tag="two_stage_jitter")
+        elif name == "two_stage_dense":
+            # Stage 1: plain window fit on the in-kernel adjoint path.
+            # Stage 2: spline-densified (4x) window anchored at cycles
+            # 0..3 — dense targets constrain the sub-sample spike phase
+            # every sampled objective leaves free (scan mode: the dense
+            # grid has 545 output times).
+            results[name] = run_two_stage(anchor_k=3, dense_anchor=4,
+                                          solver_mode="pallas",
+                                          stage2_scan=True,
+                                          tag="two_stage_dense")
         else:
             results[name] = run_config(name, CONFIGS[name])
         with open(path, "w") as fh:
@@ -179,7 +217,8 @@ def main():
     # The flagship quality run recorded for bench/BASELINE: the two-stage
     # recipe (plain reference-objective 10k fit -> periodicity-anchored
     # fine-tune) if present, else the plain baseline.
-    best_name = next((n for n in ("two_stage_selected", "two_stage",
+    best_name = next((n for n in ("two_stage_consistent",
+                                  "two_stage_selected", "two_stage",
                                   "two_stage_k3", "baseline")
                       if n in results), None)
     if best_name:

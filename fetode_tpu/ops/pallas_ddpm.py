@@ -36,7 +36,7 @@ def _dot(a, b):
                                precision=jax.lax.Precision.HIGHEST)
 
 
-def _make_kernel(T):
+def _make_kernel(T, unroll=1):
     def kernel(y0_ref, condh_ref, tembh_ref, noise_ref, coef_ref,
                w1y_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref):
         ch = condh_ref[:]                                  # (B, H)
@@ -49,12 +49,13 @@ def _make_kernel(T):
             c = coef_ref[pl.ds(i, 1), :]                   # (1, 3)
             return c[0, 0] * y - c[0, 1] * eps + c[0, 2] * noise_ref[i]
 
-        out_ref[:] = jax.lax.fori_loop(0, T, body, y0_ref[:])
+        out_ref[:] = jax.lax.fori_loop(0, T, body, y0_ref[:],
+                                       unroll=unroll)
 
     return kernel
 
 
-def _make_kernel_fm(T, P):
+def _make_kernel_fm(T, P, unroll=1):
     """Feature-major chain kernel for the gridded large-batch path.
 
     Batch rows ride the LANE axis (128-aligned blocks): the row-major
@@ -80,17 +81,18 @@ def _make_kernel_fm(T, P):
             nz = noise_ref[pl.ds(i * P, P), :]             # (P, B)
             return c[0, 0] * y - c[0, 1] * eps + c[0, 2] * nz
 
-        out_ref[:] = jax.lax.fori_loop(0, T, body, y0_ref[:])
+        out_ref[:] = jax.lax.fori_loop(0, T, body, y0_ref[:],
+                                       unroll=unroll)
 
     return kernel
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_samples", "block_b",
-                                    "interpret"))
+                                    "unroll", "interpret"))
 def pallas_eps_head_sample(eps_params, cfg, sched: DiffusionSchedule, cond,
                            key, *, n_samples: int = 1, block_b: int = 512,
-                           interpret=None):
+                           unroll: int = 1, interpret=None):
     """Sample forecasts — whole reverse chain in one kernel.
 
     Returns (B, pred_len), or (n_samples, B, pred_len) when
@@ -155,7 +157,7 @@ def pallas_eps_head_sample(eps_params, cfg, sched: DiffusionSchedule, cond,
                   W1y.T.astype(f32), W2.T.astype(f32), b2[None].astype(f32),
                   W3.T.astype(f32), b3[None].astype(f32)]
         out = pl.pallas_call(
-            _make_kernel(T),
+            _make_kernel(T, unroll),
             out_shape=jax.ShapeDtypeStruct((rows, P), f32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -189,7 +191,7 @@ def pallas_eps_head_sample(eps_params, cfg, sched: DiffusionSchedule, cond,
             full(*inputs[9].shape),
         ]
         out = pl.pallas_call(
-            _make_kernel_fm(T, P),
+            _make_kernel_fm(T, P, unroll),
             grid=(nblk,),
             out_shape=jax.ShapeDtypeStruct((P, nblk * bb), f32),
             in_specs=in_specs,

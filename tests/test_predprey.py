@@ -141,6 +141,54 @@ def test_period_estimate_and_anchor_smoke():
     assert hist["train"] == []
 
 
+def test_dense_anchor_grid_construction():
+    """dense_anchor must spline-upsample the fit window (log-space for
+    positive LV targets — reconstruction measured exact to ~6e-4 max) and
+    anchor_cycles must add one shifted copy per listed cycle.  epochs=0
+    exercises the full grid construction without a training compile."""
+    from scipy.interpolate import CubicSpline
+
+    from fetode_tpu.train.predprey_driver import PredPreyRun, train_predprey
+
+    run = PredPreyRun(epochs=0, dense_anchor=4, anchor_cycles=(1, 2, 3),
+                      cosine_decay=False)
+    params, hist = train_predprey(run, log=None)
+    assert hist["train"] == []
+
+    # Spline densification reproduces dense ground truth when built on the
+    # CONSISTENT time base (the times the targets were actually sampled
+    # at, ts[:n_train]).  On the reference-faithful base (ts_learn, a
+    # 2.2%-slower clock) the same spline is off by ~0.58 max — the
+    # measured root cause of the 0.037 extrapolation floor
+    # (benchmarks/run_time_base_probe.py).
+    from fetode_tpu.models.predprey import (PredPreyTask, generate_data,
+                                            lotka_volterra_field)
+    from fetode_tpu.solvers import odeint_dopri5
+
+    task = PredPreyTask()
+    ts, ts_learn, truth = generate_data(task, jnp.float64)
+    win = np.asarray(truth[: task.n_train], np.float64)
+    t_np = np.asarray(ts[: task.n_train], np.float64)
+    t_dense = np.linspace(t_np[0], t_np[-1], (task.n_train - 1) * 4 + 1)
+    rec = np.exp(CubicSpline(t_np, np.log(win), axis=0)(t_dense))
+    dense_truth = odeint_dopri5(lotka_volterra_field(task),
+                                jnp.asarray([task.x0, task.y0], jnp.float64),
+                                jnp.asarray(t_dense), rtol=1e-12, atol=1e-14,
+                                max_steps=4096, mode="while")
+    assert float(jnp.max(jnp.abs(rec - dense_truth))) < 2e-3
+
+    # And the skewed reference base really is skewed (regression guard for
+    # the probe's finding).
+    t_skew = np.asarray(ts_learn, np.float64)
+    t_dense_s = np.linspace(t_skew[0], t_skew[-1], (task.n_train - 1) * 4 + 1)
+    rec_s = np.exp(CubicSpline(t_skew, np.log(win), axis=0)(t_dense_s))
+    truth_s = odeint_dopri5(lotka_volterra_field(task),
+                            jnp.asarray([task.x0, task.y0], jnp.float64),
+                            jnp.asarray(t_dense_s), rtol=1e-12, atol=1e-14,
+                            max_steps=4096, mode="while")
+    assert float(jnp.max(jnp.abs(rec_s - truth_s))) > 0.3
+
+
 def test_multiple_shooting_converges():
     """Multiple-shooting training (segments solved in parallel from observed
     values) must reduce loss; eval (full solve from x0) must stay finite."""
