@@ -21,7 +21,43 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+
+_T0 = time.perf_counter()
+# Wall-clock budget: the headline predprey bench always runs; each extra
+# stage is skipped (value null) once the deadline passes, so the driver
+# always gets its JSON line even under a tight harness timeout.
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE", "480"))
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T0
+
+
+def _stage(name, fn, *args, **kwargs):
+    """Run one extra bench stage under the global deadline; stderr logs."""
+    if _elapsed() > _DEADLINE_S:
+        print(f"[bench {_elapsed():7.1f}s] SKIP {name} (past deadline)",
+              file=sys.stderr, flush=True)
+        return None
+    print(f"[bench {_elapsed():7.1f}s] start {name}", file=sys.stderr,
+          flush=True)
+    out = fn(*args, **kwargs)
+    print(f"[bench {_elapsed():7.1f}s] done  {name}", file=sys.stderr,
+          flush=True)
+    return out
+
+
+def _enable_compile_cache():
+    """Persistent compilation cache: compile time dominates the bench
+    (~350 s of the ~550 s cold run); cached reruns skip it entirely."""
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def _sync(x):
@@ -300,11 +336,16 @@ def bench_diffusion_sampling():
     return timed("pallas"), timed("scan"), timed("pallas", n_samples=10)
 
 
+def _round(x, nd):
+    return None if x is None else round(x, nd)
+
+
 def main() -> None:
+    _enable_compile_cache()
     import jax
 
     (epochs_per_sec, scan_eps, final_loss, traj_per_sec,
-     pallas_traj_per_sec) = bench_predprey()
+     pallas_traj_per_sec) = _stage("predprey headline", bench_predprey)
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "baseline_cpu.json")
@@ -313,31 +354,35 @@ def main() -> None:
         with open(base_path) as fh:
             baseline_sec_per_epoch = json.load(fh)["sec_per_epoch"]
 
-    traj_train_pallas, traj_train_scan = bench_traj_training()
+    traj_train = _stage("traj training", bench_traj_training) or (None, None)
     extra = {
         "final_train_loss": final_loss,
         "scan_mode_epochs_per_sec": round(scan_eps, 2),
         "trajectories_per_sec_per_chip": round(traj_per_sec, 1),
         "pallas_whole_solve_traj_per_sec": round(pallas_traj_per_sec, 1),
-        "traj_training_traj_epochs_per_sec": round(traj_train_pallas, 1),
-        "traj_training_scan_traj_epochs_per_sec": round(traj_train_scan, 1),
-        "ecg_ferro_epochs_per_sec": round(bench_ecg_ferro(), 2),
-        "ecg_ferro_bf16state_epochs_per_sec": round(
-            bench_ecg_ferro("bfloat16"), 2),
-        "ecg_ferro_pallas_epochs_per_sec": round(
-            bench_ecg_ferro(solver_mode="pallas"), 2),
-        "ecg_logistic_node_pallas_epochs_per_sec": round(
-            bench_ecg_logistic(solver_mode="pallas"), 2),
-        "ecg_logistic_node_epochs_per_sec": round(
-            bench_ecg_logistic(), 2),
+        "traj_training_traj_epochs_per_sec": _round(traj_train[0], 1),
+        "traj_training_scan_traj_epochs_per_sec": _round(traj_train[1], 1),
+        "ecg_ferro_pallas_epochs_per_sec": _round(
+            _stage("ecg ferro pallas",
+                   bench_ecg_ferro, solver_mode="pallas"), 2),
+        "ecg_ferro_epochs_per_sec": _round(
+            _stage("ecg ferro scan", bench_ecg_ferro), 2),
+        "ecg_ferro_bf16state_epochs_per_sec": _round(
+            _stage("ecg ferro bf16", bench_ecg_ferro, "bfloat16"), 2),
+        "ecg_logistic_node_pallas_epochs_per_sec": _round(
+            _stage("ecg logistic pallas",
+                   bench_ecg_logistic, solver_mode="pallas"), 2),
+        "ecg_logistic_node_epochs_per_sec": _round(
+            _stage("ecg logistic scan", bench_ecg_logistic), 2),
         "diffusion_samples_per_sec": None,      # filled below
         "baseline_cpu_sec_per_epoch": baseline_sec_per_epoch,
         "device": str(jax.devices()[0]),
     }
-    diff_pallas, diff_scan, diff_folded = bench_diffusion_sampling()
-    extra["diffusion_samples_per_sec"] = round(diff_pallas, 1)
-    extra["diffusion_scan_samples_per_sec"] = round(diff_scan, 1)
-    extra["diffusion_folded10_samples_per_sec"] = round(diff_folded, 1)
+    diff = _stage("diffusion sampling", bench_diffusion_sampling)
+    if diff is not None:
+        extra["diffusion_samples_per_sec"] = round(diff[0], 1)
+        extra["diffusion_scan_samples_per_sec"] = round(diff[1], 1)
+        extra["diffusion_folded10_samples_per_sec"] = round(diff[2], 1)
     # Convergence/parity evidence from the recorded full 10k-epoch run
     # (benchmarks/predprey_10k_run.json, produced on this chip).
     run_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -33,6 +33,10 @@ class PredPreyPreset:
     # whole-solve kernel with in-kernel discrete adjoint — fastest
     # measured training path on a real TPU chip).
     solver_mode: str = "scan"
+    # Fit at the times the window targets were actually sampled (the
+    # reference's t_learn grid runs 2.24% slow — see
+    # PredPreyRun.consistent_time_base; flagship quality runs set True).
+    consistent_time_base: bool = False
     seed: int = 0
 
 

@@ -82,6 +82,33 @@ def test_batched_forward(setup):
                                    rtol=5e-3, atol=5e-3)
 
 
+def test_pallas_mode_dispatch(monkeypatch):
+    """predict(solver_mode="pallas") routes narrow stacks to the sublane
+    adjoint kernel and wide stacks (in*out*K > 4096, past the sublane
+    layout's VMEM limit) to the wide-layout kernel."""
+    import fetode_tpu.ops.pallas_adjoint as pa
+    import fetode_tpu.ops.pallas_kanfet_wide as pw
+
+    calls = []
+    monkeypatch.setattr(
+        pa, "pallas_kanfet_solve_train",
+        lambda params, cfg, x0s, ts, **kw: calls.append("sublane")
+        or jnp.zeros((1, ts.shape[0], x0s.shape[-1])))
+    monkeypatch.setattr(
+        pw, "pallas_kanfet_wide_solve_train",
+        lambda params, cfg, x0s, ts, **kw: calls.append("wide")
+        or jnp.zeros((1, ts.shape[0], x0s.shape[-1])))
+
+    ts = jnp.linspace(0.0, 1.0, 4)
+    x0 = jnp.asarray([1.0, 1.0], jnp.float32)
+    narrow = PredPreyNODE.kanfet(solver_mode="pallas")
+    pp_predict(predprey_init(jax.random.PRNGKey(0), narrow), narrow, x0, ts)
+    wide = PredPreyNODE.kanfet(layers_hidden=(2, 64, 64, 2),
+                               solver_mode="pallas")
+    pp_predict(predprey_init(jax.random.PRNGKey(0), wide), wide, x0, ts)
+    assert calls == ["sublane", "wide"]
+
+
 def test_multilayer_stack_trains():
     """A [2, 8, 8, 2] stack (the layout this kernel exists for) runs,
     produces finite grads, and a short Adam loop reduces the loss."""
