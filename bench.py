@@ -221,7 +221,7 @@ def bench_ecg_ferro(state_dtype="", solver_mode="scan"):
     import jax.numpy as jnp
 
     from fetode_tpu.models import ecg as M
-    from fetode_tpu.train.loop import init_state, make_minibatch_epoch
+    from fetode_tpu.train.loop import init_state
     from fetode_tpu.train.optim import make_optimizer
 
     spec = M.KanFetMLPNODESpec(T=96, state_dtype=state_dtype,
@@ -241,16 +241,22 @@ def bench_ecg_ferro(state_dtype="", solver_mode="scan"):
     tx = make_optimizer(1e-3, kind="adamw", weight_decay=1e-4, grad_clip=1.0,
                         params=params)
     state = init_state(params, tx)
-    epoch_fn = make_minibatch_epoch(loss_fn, tx, keyed=True)
+    # 10-epoch blocks per dispatch (make_minibatch_epochs_scanner):
+    # per-epoch dispatches made this bench tunnel-latency-bound
+    # (cross-session swings of ~2x at identical code).
+    from fetode_tpu.train.loop import make_minibatch_epochs_scanner
+    E = 10
+    epoch_fn = make_minibatch_epochs_scanner(loss_fn, tx, keyed=True)
+    eb = tuple(jnp.repeat(a[None], E, 0) for a in batches)
 
-    state, losses = epoch_fn(state, key, batches)   # compile
-    _sync(losses[-1])
-    n_epochs = 30
+    state, losses = epoch_fn(state, key, eb)   # compile
+    _sync(losses[-1, -1])
+    n_calls = 3
     t0 = time.perf_counter()
-    for i in range(n_epochs):
-        state, losses = epoch_fn(state, jax.random.fold_in(key, i), batches)
-    _sync(losses[-1])
-    return n_epochs / (time.perf_counter() - t0)
+    for i in range(n_calls):
+        state, losses = epoch_fn(state, jax.random.fold_in(key, i), eb)
+    _sync(losses[-1, -1])
+    return n_calls * E / (time.perf_counter() - t0)
 
 
 def bench_ecg_logistic(solver_mode="scan"):
@@ -262,7 +268,7 @@ def bench_ecg_logistic(solver_mode="scan"):
     import optax
 
     from fetode_tpu.models import ecg as M
-    from fetode_tpu.train.loop import init_state, make_minibatch_epoch
+    from fetode_tpu.train.loop import init_state
     from fetode_tpu.train.optim import make_optimizer
 
     spec = M.KanFetNODESpec(T=96, solver_mode=solver_mode)
@@ -280,15 +286,18 @@ def bench_ecg_logistic(solver_mode="scan"):
     tx = make_optimizer(1e-3, kind="adamw", weight_decay=1e-4,
                         grad_clip=1.0, params=params)
     state = init_state(params, tx)
-    epoch_fn = make_minibatch_epoch(loss_fn, tx, keyed=True)
-    state, losses = epoch_fn(state, key, batches)
-    _sync(losses[-1])
-    n_epochs = 30
+    from fetode_tpu.train.loop import make_minibatch_epochs_scanner
+    E = 10
+    epoch_fn = make_minibatch_epochs_scanner(loss_fn, tx, keyed=True)
+    eb = tuple(jnp.repeat(a[None], E, 0) for a in batches)
+    state, losses = epoch_fn(state, key, eb)
+    _sync(losses[-1, -1])
+    n_calls = 3
     t0 = time.perf_counter()
-    for i in range(n_epochs):
-        state, losses = epoch_fn(state, jax.random.fold_in(key, i), batches)
-    _sync(losses[-1])
-    return n_epochs / (time.perf_counter() - t0)
+    for i in range(n_calls):
+        state, losses = epoch_fn(state, jax.random.fold_in(key, i), eb)
+    _sync(losses[-1, -1])
+    return n_calls * E / (time.perf_counter() - t0)
 
 
 def bench_diffusion_sampling():

@@ -101,3 +101,57 @@ def make_minibatch_epoch(loss_fn: Callable, tx, *, keyed: bool = False) -> Calla
         return jax.lax.scan(body, state, (keys, batches))
 
     return run_keyed
+
+
+def make_minibatch_epochs_scanner(loss_fn: Callable, tx, *,
+                                  keyed: bool = False) -> Callable:
+    """Like :func:`make_minibatch_epoch`, but a whole BLOCK of epochs is
+    one dispatch: every leaf of ``epoch_batches`` has leading axes
+    ``(n_epochs, n_batches, batch_size, ...)`` — per-epoch reshuffles are
+    prepared on host and stacked.  Returns ``fn(state, epoch_batches) ->
+    (state, losses[n_epochs, n_batches])`` (keyed: ``fn(state, key,
+    epoch_batches)``; epoch ``e`` consumes ``jax.random.split(key,
+    n_epochs)[e]``, exactly matching ``make_minibatch_epoch`` called
+    sequentially with those keys).
+
+    Small-model minibatch training is dispatch-latency-bound on TPU
+    (one host→device round trip per epoch); blocking epochs amortises it
+    the same way :func:`make_epoch_scanner` does for full-batch work.
+    """
+    if not keyed:
+        step = make_train_step(loss_fn, tx)
+
+        @jax.jit
+        def run(state: TrainState, epoch_batches):
+            def body(s, batch):
+                s, loss = step(s, *batch)
+                return s, loss
+
+            def epoch(s, batches):
+                return jax.lax.scan(body, s, batches)
+
+            return jax.lax.scan(epoch, state, epoch_batches)
+
+        return run
+
+    step = make_train_step(lambda p, key, *batch: loss_fn(p, key, *batch), tx)
+
+    @jax.jit
+    def run_keyed(state: TrainState, key, epoch_batches):
+        n_epochs = jax.tree_util.tree_leaves(epoch_batches)[0].shape[0]
+
+        def body(s, key_batch):
+            k, batch = key_batch
+            s, loss = step(s, k, *batch)
+            return s, loss
+
+        def epoch(s, ekey_batches):
+            ekey, batches = ekey_batches
+            n_batches = jax.tree_util.tree_leaves(batches)[0].shape[0]
+            keys = jax.random.split(ekey, n_batches)
+            return jax.lax.scan(body, s, (keys, batches))
+
+        ekeys = jax.random.split(key, n_epochs)
+        return jax.lax.scan(epoch, state, (ekeys, epoch_batches))
+
+    return run_keyed

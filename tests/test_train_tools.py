@@ -69,3 +69,48 @@ def test_debug_nans_context():
     with debug_nans(True):
         assert jax.config.jax_debug_nans
     assert not jax.config.jax_debug_nans
+
+
+def test_minibatch_epochs_scanner_matches_sequential():
+    """One dispatch of E epochs == E sequential make_minibatch_epoch calls
+    with the same derived keys (keyed and unkeyed)."""
+    import jax
+    import optax
+
+    from fetode_tpu.train.loop import (init_state, make_minibatch_epoch,
+                                       make_minibatch_epochs_scanner)
+
+    def loss_keyed(p, key, xb, yb):
+        noise = 0.01 * jax.random.normal(key, yb.shape)
+        return jnp.mean((xb @ p["w"] - yb - noise) ** 2)
+
+    def loss_plain(p, xb, yb):
+        return jnp.mean((xb @ p["w"] - yb) ** 2)
+
+    key = jax.random.PRNGKey(3)
+    params = {"w": jax.random.normal(key, (5, 1))}
+    tx = optax.adam(1e-2)
+    E, nb, B = 2, 3, 4
+    xs = jax.random.normal(jax.random.fold_in(key, 1), (E, nb, B, 5))
+    ys = jax.random.normal(jax.random.fold_in(key, 2), (E, nb, B, 1))
+
+    for keyed, loss in ((True, loss_keyed), (False, loss_plain)):
+        scan_fn = make_minibatch_epochs_scanner(loss, tx, keyed=keyed)
+        seq_fn = make_minibatch_epoch(loss, tx, keyed=keyed)
+        s1 = init_state(params, tx)
+        if keyed:
+            s1, losses = scan_fn(s1, key, (xs, ys))
+            ekeys = jax.random.split(key, E)
+        else:
+            s1, losses = scan_fn(s1, (xs, ys))
+        assert losses.shape == (E, nb)
+        s2 = init_state(params, tx)
+        for e in range(E):
+            if keyed:
+                s2, l2 = seq_fn(s2, ekeys[e], (xs[e], ys[e]))
+            else:
+                s2, l2 = seq_fn(s2, (xs[e], ys[e]))
+            np.testing.assert_allclose(np.asarray(losses[e]), np.asarray(l2),
+                                       rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(s1.params["w"]),
+                                   np.asarray(s2.params["w"]), rtol=1e-6)
