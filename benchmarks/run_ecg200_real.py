@@ -59,12 +59,15 @@ def main():
     if os.path.exists(path):
         with open(path) as fh:
             results = json.load(fh)
+    epc = int(os.environ.get("ECG_EPOCHS_PER_CALL", "1"))
     for name in names:
         init_fn, apply_fn = builders(name, T, n_cls)
-        _, hist = train_ecg_model(init_fn, apply_fn, data, ECGRun(), log=None)
-        results[name] = {"best_test_acc": hist["best_test_acc"],
-                         "wall": round(hist["wall_seconds"], 2)}
-        print(name, json.dumps(results[name]), flush=True)
+        _, hist = train_ecg_model(init_fn, apply_fn, data,
+                                  ECGRun(epochs_per_call=epc), log=None)
+        key = name if epc == 1 else f"{name}_blk{epc}"
+        results[key] = {"best_test_acc": hist["best_test_acc"],
+                        "wall": round(hist["wall_seconds"], 2)}
+        print(key, json.dumps(results[key]), flush=True)
         with open(path, "w") as fh:
             json.dump(results, fh, indent=2)
 

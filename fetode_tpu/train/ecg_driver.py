@@ -31,7 +31,8 @@ import numpy as np
 import optax
 
 from fetode_tpu.data.ecg200 import batch_iterator
-from fetode_tpu.train.loop import init_state, make_minibatch_epoch
+from fetode_tpu.train.loop import (init_state, make_minibatch_epoch,
+                                   make_minibatch_epochs_scanner)
 from fetode_tpu.train.optim import make_optimizer
 
 
@@ -45,6 +46,12 @@ class ECGRun:
     seed: int = 0
     log_every: int = 10
     eval_noise_draws: int = 1   # logits averaged over this many noise keys
+    # Epochs per device dispatch (make_minibatch_epochs_scanner).  >1
+    # amortises host round trips (fast models are dispatch-bound — the
+    # logistic KanFetNODE measures 3-4x); eval/best-tracking then happen
+    # once per block instead of per epoch (the reference tracks per
+    # epoch, so 1 is the parity default).
+    epochs_per_call: int = 1
 
 
 def cross_entropy(logits, labels):
@@ -100,11 +107,25 @@ def train_ecg_model(
     history = {"loss": [], "train_acc": [], "test_acc": []}
     best = (-1.0, state.params)
     t0 = time.perf_counter()
-    for ep in range(run.epochs):
-        bx, by = batch_iterator(x_train, y_train, run.batch_size,
-                                seed=run.seed + ep)
-        ep_key = jax.random.fold_in(noise_base, ep)
-        state, losses = epoch_fn(state, ep_key, (jnp.asarray(bx), jnp.asarray(by)))
+    E = max(1, run.epochs_per_call)
+    block_fn = (make_minibatch_epochs_scanner(loss_fn, tx, keyed=True)
+                if E > 1 else None)
+    for ep in range(0, run.epochs, E):
+        n = min(E, run.epochs - ep)
+        if n == 1:
+            bx, by = batch_iterator(x_train, y_train, run.batch_size,
+                                    seed=run.seed + ep)
+            ep_key = jax.random.fold_in(noise_base, ep)
+            state, losses = epoch_fn(state, ep_key,
+                                     (jnp.asarray(bx), jnp.asarray(by)))
+        else:
+            shuffles = [batch_iterator(x_train, y_train, run.batch_size,
+                                       seed=run.seed + ep + i)
+                        for i in range(n)]
+            eb = (jnp.asarray(np.stack([b[0] for b in shuffles])),
+                  jnp.asarray(np.stack([b[1] for b in shuffles])))
+            state, losses = block_fn(state, jax.random.fold_in(noise_base, ep),
+                                     eb)
         tr_acc = float(eval_acc(state.params, x_train_j, y_train_j))
         te_acc = float(eval_acc(state.params, x_test_j, y_test_j))
         history["loss"].append(float(losses.mean()))
@@ -112,7 +133,8 @@ def train_ecg_model(
         history["test_acc"].append(te_acc)
         if te_acc > best[0]:
             best = (te_acc, state.params)
-        if log is not None and (ep % run.log_every == 0 or ep == run.epochs - 1):
+        if log is not None and (ep % run.log_every == 0
+                                or ep + n >= run.epochs):
             log(f"epoch {ep:3d} | loss {history['loss'][-1]:.4f} | "
                 f"train_acc {tr_acc*100:.1f}% | test_acc {te_acc*100:.1f}%")
     history["wall_seconds"] = time.perf_counter() - t0

@@ -214,3 +214,23 @@ def test_bf16_state_dtype_knob():
     outbf = np.asarray(ferro_kan_rnn_apply(p, cfg_bf, x))
     assert outbf.dtype == np.float32
     np.testing.assert_allclose(outbf, out32, rtol=0.05, atol=0.05)
+
+
+def test_blocked_epochs_driver():
+    """epochs_per_call > 1 (one dispatch per block of epochs) still
+    converges, keeps per-block history, and handles a partial tail block."""
+    data = _small_data()
+    spec = KanFetNODESpec(T=24, latent_dim=8, num_basis=4, ode_hidden=8,
+                          solver="rk4")
+
+    def init_fn(k):
+        return kanfet_node_init(k, spec)
+
+    def apply_fn(p, x, key):
+        return kanfet_node_apply(p, spec, x)
+
+    run = ECGRun(epochs=15, batch_size=8, log_every=100, epochs_per_call=6)
+    best, hist = train_ecg_model(init_fn, apply_fn, data, run, log=None)
+    assert len(hist["loss"]) == 3            # blocks of 6, 6, 3
+    assert hist["best_test_acc"] > 0.6, hist["test_acc"]
+    assert hist["loss"][-1] < hist["loss"][0]
