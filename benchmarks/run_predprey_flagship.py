@@ -195,6 +195,16 @@ def main():
                 solver_mode="pallas")
             results[name] = run_config(name, dict(
                 spec=spec, consistent_time_base=True))
+        elif name == "consistent_seeds":
+            # Seed-stability of the flagship quality run: same config as
+            # consistent_plain at three other seeds.
+            from fetode_tpu.models.predprey import PredPreyNODE
+            spec = PredPreyNODE.kanfet(max_steps=256)._replace(
+                solver_mode="pallas")
+            results[name] = {
+                f"seed{s}": run_config(f"consistent_seed{s}", dict(
+                    spec=spec, consistent_time_base=True, seed=s))
+                for s in (1, 2, 3)}
         elif name == "two_stage_consistent":
             # Consistent fit-window time base (the measured root cause of
             # the 0.037 floor: the reference hands the solver times 2.2%

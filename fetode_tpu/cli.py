@@ -203,6 +203,7 @@ def run_ett(cfg, out_dir, plots):
 
 
 def run_cond_diffusion(cfg, out_dir, plots):
+    import jax
     import numpy as np
 
     from fetode_tpu.data.timeseries import load_ett_csv, make_windows, \
@@ -235,7 +236,16 @@ def run_cond_diffusion(cfg, out_dir, plots):
                            batch_size=cfg.batch_size, lr=cfg.lr,
                            eval_samples=cfg.eval_samples, seed=cfg.seed)
     params, hist = train_conditional_diffusion(spec, data, run)
-    return {"final_val": hist["val"][-1]}
+    # Sampling-based test forecast MSE/MAE (the reference's
+    # evaluate_forecast_samples protocol, kan_diffusion_ett.py:764-865);
+    # chunk the test split so the reverse chain stays memory-bounded.
+    from fetode_tpu.train.cond_diffusion_driver import evaluate_forecast
+    past_te, fut_te = data["test"]
+    n_eval = min(len(past_te), 256)
+    ev = evaluate_forecast(params, spec, run, past_te[:n_eval],
+                           fut_te[:n_eval], jax.random.PRNGKey(cfg.seed + 1))
+    return {"final_val": hist["val"][-1], "test_mse": ev["mse"],
+            "test_mae": ev["mae"]}
 
 
 def run_timemmd(cfg, out_dir, plots):
