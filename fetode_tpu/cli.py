@@ -141,7 +141,8 @@ def run_ecg(cfg, out_dir, plots):
         raise SystemExit(f"unknown ECG model {cfg.model!r}")
 
     run = ECGRun(epochs=cfg.epochs, batch_size=cfg.batch_size, lr=cfg.lr,
-                 weight_decay=cfg.weight_decay, seed=cfg.seed)
+                 weight_decay=cfg.weight_decay, seed=cfg.seed,
+                 epochs_per_call=cfg.epochs_per_call)
     params, hist = train_ecg_model(init_fn, apply_fn, data, run)
     if plots:
         from fetode_tpu.diag.plots import plot_losses

@@ -56,6 +56,10 @@ class ECGPreset:
     rtol: float = 1e-2
     atol: float = 1e-3
     noise_std: float = 0.0
+    # Epochs per device dispatch (ECGRun.epochs_per_call): >1 blocks
+    # whole epoch groups into one jit (3-4x on fast models); 1 keeps the
+    # reference's per-epoch eval/best-tracking.
+    epochs_per_call: int = 1
     seed: int = 0
 
 
