@@ -269,7 +269,18 @@ def run_timemmd(cfg, out_dir, plots):
                                      max_features=cfg.tfidf_max_features)
     else:
         print(f"Time-MMD {cfg.domain} csv not found; using synthetic stand-in")
-        X, y = synthetic_series(n=600, n_features=4)
+        # n=1200 keeps every chronological split (10% val) longer than
+        # the preset's context_len+pred_len window (50+12).
+        X, y = synthetic_series(n=1200, n_features=4)
+        if cfg.multimodal:
+            # Synthetic report texts so the TF-IDF+SVD fusion path is
+            # exercised end to end even without the real dataset.
+            from fetode_tpu.data.multimodal import fuse_features
+            texts = [f"report level {int(v * 7) % 11} trend "
+                     f"{'up' if i % 3 else 'down'}" for i, v in enumerate(y)]
+            X, _ = fuse_features(X, texts, int(len(X) * 0.7),
+                                 embed_dim=cfg.text_embed_dim,
+                                 max_features=cfg.tfidf_max_features)
 
     run = ForecastRun(context_len=cfg.context_len, pred_len=cfg.pred_len,
                       batch_size=cfg.batch_size, epochs=cfg.epochs, lr=cfg.lr,

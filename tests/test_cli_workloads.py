@@ -48,3 +48,12 @@ def test_cli_mnist_synthetic(tmp_path):
 
     args, ov = _parse(["timemmd", "--multimodal", "--epochs", "5"])
     assert ov == {"multimodal": "true", "epochs": "5"}
+
+
+def test_cli_timemmd_multimodal_synthetic(tmp_path):
+    """--multimodal on the synthetic fallback exercises TF-IDF+SVD fusion
+    end to end (synthetic report texts)."""
+    r = main(["timemmd", "--out-dir", str(tmp_path), "--domain", "Nonexistent",
+              "--multimodal", "true", "--context-len", "10", "--pred-len", "3",
+              "--text-embed-dim", "3", "--epochs", "1", "--batch-size", "32"])
+    assert np.isfinite(r["test_mse"])
