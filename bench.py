@@ -49,6 +49,25 @@ def _stage(name, fn, *args, **kwargs):
     return out
 
 
+def _device_init_watchdog(timeout_s: float):
+    """Fail fast if backend init hangs (e.g. a dead axon TPU tunnel —
+    observed to block ``jax.devices()`` indefinitely).  A daemon thread
+    arms a hard exit; call the returned ``disarm()`` once devices are up."""
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(f"[bench] FATAL: device init exceeded {timeout_s:.0f}s "
+                  "(TPU tunnel down?) — aborting instead of hanging",
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done.set
+
+
 def _enable_compile_cache():
     """Persistent compilation cache: compile time dominates the bench
     (~350 s of the ~550 s cold run); cached reruns skip it entirely."""
@@ -352,6 +371,11 @@ def _round(x, nd):
 def main() -> None:
     _enable_compile_cache()
     import jax
+
+    disarm = _device_init_watchdog(
+        float(os.environ.get("BENCH_DEVICE_TIMEOUT", "300")))
+    jax.devices()
+    disarm()
 
     (epochs_per_sec, scan_eps, final_loss, traj_per_sec,
      pallas_traj_per_sec) = _stage("predprey headline", bench_predprey)

@@ -134,9 +134,9 @@ def kanfet_node_field(params, spec: KanFetNODESpec, t, h):
 def kanfet_node_apply(params, spec: KanFetNODESpec, x):
     """x (B, T) -> logits (B, num_classes); latent NODE over [0, 1].
 
-    ``solver_mode="pallas"`` on the 'plain' field routes the latent
-    solve through the whole-solve in-kernel discrete adjoint
-    (ops/pallas_logistic_node.py)."""
+    ``solver_mode="pallas"`` routes the latent solve through the
+    whole-solve in-kernel discrete adjoint ('plain' field:
+    ops/pallas_logistic_node.py; 'mlp' field: ops/pallas_mlp_node.py)."""
     h0 = x @ params["encoder_w"].T + params["encoder_b"]
     ts = jnp.asarray([0.0, 1.0], x.dtype)
 
@@ -150,6 +150,10 @@ def kanfet_node_apply(params, spec: KanFetNODESpec, x):
         )
 
         hT = pallas_logistic_node_solve(params, h0, spec)
+    elif spec.solver_mode == "pallas" and spec.solver == "dopri5":
+        from fetode_tpu.ops.pallas_mlp_node import pallas_mlp_node_solve
+
+        hT = pallas_mlp_node_solve(params, h0, spec)
     elif spec.solver == "dopri5":
         mode = "scan" if spec.solver_mode == "pallas" else spec.solver_mode
         traj = odeint_dopri5(rhs, h0, ts, rtol=spec.rtol, atol=spec.atol,

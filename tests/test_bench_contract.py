@@ -25,3 +25,12 @@ def test_round_helper_handles_none():
     bench = _load_bench()
     assert bench._round(None, 2) is None
     assert bench._round(1.234, 2) == 1.23
+
+
+def test_device_watchdog_disarm():
+    import time
+
+    bench = _load_bench()
+    disarm = bench._device_init_watchdog(0.2)
+    disarm()                    # init "completed" — watchdog must not fire
+    time.sleep(0.3)             # outlive the timeout to prove no os._exit
