@@ -278,10 +278,11 @@ def bench_ecg_ferro(state_dtype="", solver_mode="scan"):
     return n_calls * E / (time.perf_counter() - t0)
 
 
-def bench_ecg_logistic(solver_mode="scan"):
-    """ECG KanFetNODE (logistic 'plain' field) training epochs/sec —
-    same protocol as bench_ecg_ferro; "pallas" = whole-solve in-kernel
-    adjoint (ops/pallas_logistic_node.py)."""
+def bench_ecg_logistic(solver_mode="scan", field="plain"):
+    """ECG KanFetNODE training epochs/sec — same protocol as
+    bench_ecg_ferro; "pallas" = whole-solve in-kernel adjoint
+    (ops/pallas_logistic_node.py for field='plain',
+    ops/pallas_mlp_node.py for field='mlp')."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -290,7 +291,7 @@ def bench_ecg_logistic(solver_mode="scan"):
     from fetode_tpu.train.loop import init_state
     from fetode_tpu.train.optim import make_optimizer
 
-    spec = M.KanFetNODESpec(T=96, solver_mode=solver_mode)
+    spec = M.KanFetNODESpec(T=96, solver_mode=solver_mode, field=field)
     key = jax.random.PRNGKey(0)
     params = M.kanfet_node_init(key, spec)
     x = jax.random.normal(key, (96, 96), jnp.float32)

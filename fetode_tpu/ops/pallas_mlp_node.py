@@ -88,19 +88,24 @@ def _bspline_dcols(x, g_ref):
 
 def _kan_layer_fwd(x, g_ref, bw_ref, sw_ref, H):
     """One KANLinear forward: silu-base matmul + per-column spline
-    matmuls against the (C*H, in) scaled-weight layout."""
+    matmuls against the (C*H, in) scaled-weight layout.  Returns
+    ``(y, cols)`` — the basis columns are reused by the VJP so the
+    reverse pass runs the Cox–de Boor recursion once, not twice."""
+    cols = _bspline_cols(x, g_ref)
     y = _dot(_silu(x), bw_ref[:], 1, 1)
-    for c, bc in enumerate(_bspline_cols(x, g_ref)):
-        y = y + _dot(bc, sw_ref[pl.ds(c * H, H)], 1, 1)
-    return y
+    for c in range(_C):
+        y = y + _dot(cols[c], sw_ref[pl.ds(c * H, H)], 1, 1)
+    return y, cols
 
 
-def _kan_layer_bwd(x, ybar, g_ref, bw_ref, sw_ref, gbw_ref, gsw_ref, H):
+def _kan_layer_bwd(x, cols, ybar, g_ref, bw_ref, sw_ref, gbw_ref, gsw_ref,
+                   H):
     """VJP of one KANLinear: accumulates base/scaled-spline weight grads
-    into ``gbw_ref``/``gsw_ref`` and returns the input cotangent."""
+    into ``gbw_ref``/``gsw_ref`` and returns the input cotangent.
+    ``cols`` is the forward's basis-column list (recomputed only at
+    degree 2 for the analytic derivative)."""
     gbw_ref[:] += _dot(ybar, _silu(x), 0, 0)
     xbar = _dot(ybar, bw_ref[:], 1, 0) * _dsilu(x)
-    cols = _bspline_cols(x, g_ref)
     dcols = _bspline_dcols(x, g_ref)
     for c in range(_C):
         gsw_ref[pl.ds(c * H, H)] += _dot(ybar, cols[c], 0, 0)
@@ -125,7 +130,7 @@ def _ln_tanh_mixer_fwd(y, ls, lb, av, bv, r_ref, h_bound, eps=1e-5):
     return phi, (xn, rstd, th, xk, s1)
 
 
-def _make_fwd_kernel(B, D, K, H, max_steps, rtol, atol, h_bound):
+def _make_fwd_kernel(B, D, H, max_steps, rtol, atol, h_bound):
     def kernel(h0_ref, tab_ref, r_ref, ls_ref, lb_ref, av_ref, bv_ref,
                g1_ref, bw1_ref, sw1_ref, g2_ref, bw2_ref, sw2_ref,
                ow_ref, ob_ref, eff_ref,
@@ -136,8 +141,8 @@ def _make_fwd_kernel(B, D, K, H, max_steps, rtol, atol, h_bound):
 
         def field(y):                                   # (B, D)
             phi, _ = _ln_tanh_mixer_fwd(y, ls, lb, av, bv, r_ref, h_bound)
-            y1 = _kan_layer_fwd(phi, g1_ref, bw1_ref, sw1_ref, H)
-            y2 = _kan_layer_fwd(y1, g2_ref, bw2_ref, sw2_ref, H)
+            y1, _ = _kan_layer_fwd(phi, g1_ref, bw1_ref, sw1_ref, H)
+            y2, _ = _kan_layer_fwd(y1, g2_ref, bw2_ref, sw2_ref, H)
             dh = _dot(_silu(y2), ow_ref[:], 1, 1) + ob_ref[:]
             return eff * dh
 
@@ -148,7 +153,7 @@ def _make_fwd_kernel(B, D, K, H, max_steps, rtol, atol, h_bound):
     return kernel
 
 
-def _make_bwd_kernel(B, D, K, H, max_steps, h_bound):
+def _make_bwd_kernel(B, D, H, h_bound):
     def kernel(ybar_ref, tda_ref, yrec_ref, krec_ref, misc_ref, tab_ref,
                r_ref, ls_ref, lb_ref, av_ref, bv_ref,
                g1_ref, bw1_ref, sw1_ref, g2_ref, bw2_ref, sw2_ref,
@@ -168,8 +173,8 @@ def _make_bwd_kernel(B, D, K, H, max_steps, h_bound):
         def field_vjp(u, w):
             phi, (xn, rstd, th, xk, s1) = _ln_tanh_mixer_fwd(
                 u, ls, lb, av, bv, r_ref, h_bound)
-            y1 = _kan_layer_fwd(phi, g1_ref, bw1_ref, sw1_ref, H)
-            y2 = _kan_layer_fwd(y1, g2_ref, bw2_ref, sw2_ref, H)
+            y1, cols1 = _kan_layer_fwd(phi, g1_ref, bw1_ref, sw1_ref, H)
+            y2, cols2 = _kan_layer_fwd(y1, g2_ref, bw2_ref, sw2_ref, H)
             z = _silu(y2)
             dh = _dot(z, ow_ref[:], 1, 1) + ob_ref[:]
 
@@ -178,10 +183,10 @@ def _make_bwd_kernel(B, D, K, H, max_steps, h_bound):
             gow_ref[:] += _dot(wdh, z, 0, 0)            # (D, H)
             gob_ref[:] += _dot(ones_b, wdh, 1, 0)       # (1, D)
             y2bar = _dot(wdh, ow_ref[:], 1, 0) * _dsilu(y2)
-            y1bar = _kan_layer_bwd(y1, y2bar, g2_ref, bw2_ref, sw2_ref,
-                                   gbw2_ref, gsw2_ref, H)
-            phibar = _kan_layer_bwd(phi, y1bar, g1_ref, bw1_ref, sw1_ref,
-                                    gbw1_ref, gsw1_ref, H)
+            y1bar = _kan_layer_bwd(y1, cols2, y2bar, g2_ref, bw2_ref,
+                                   sw2_ref, gbw2_ref, gsw2_ref, H)
+            phibar = _kan_layer_bwd(phi, cols1, y1bar, g1_ref, bw1_ref,
+                                    sw1_ref, gbw1_ref, gsw1_ref, H)
 
             # mixer: phi = sigmoid(2*sigmoid(av*(xk-bv)))
             zb = phibar * (2.0 * phi * (1.0 - phi)) * (s1 * (1.0 - s1))
@@ -256,7 +261,7 @@ def make_mlp_node_solver(D, K, H, rtol=1e-2, atol=1e-3, max_steps=16,
             jax.ShapeDtypeStruct((1, 4), f32),
         ]
         hT, tda, yrec, krec, misc = pl.pallas_call(
-            _make_fwd_kernel(B, D, K, H, M, rtol, atol, h_bound),
+            _make_fwd_kernel(B, D, H, M, rtol, atol, h_bound),
             out_shape=out_shapes,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
@@ -283,7 +288,7 @@ def make_mlp_node_solver(D, K, H, rtol=1e-2, atol=1e-3, max_steps=16,
                       jax.ShapeDtypeStruct((1, 1), f32),       # geff
                       jax.ShapeDtypeStruct((B, D), f32)]       # h0bar
         outs = pl.pallas_call(
-            _make_bwd_kernel(B, D, K, H, M, h_bound),
+            _make_bwd_kernel(B, D, H, h_bound),
             out_shape=out_shapes,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shapes),
