@@ -81,6 +81,15 @@ class PredPreyRun:
     # solves ride a vmap — the TPU-native trade of sequential latency for
     # parallel width.  Requires (n_train-1) % (shooting_points-1) == 0.
     shooting_points: int = 0
+    # Parallel-IN-TIME over the device mesh (0 disables; requires
+    # shooting_points > 1): shard the shooting-segment axis over the mesh
+    # 'data' axis so each device integrates its own TIME segments — the
+    # time-chunked pipelining across devices SURVEY §5.7 names as the
+    # honest TPU equivalent of sequence parallelism for ODE workloads
+    # (the sequential dimension here is integration time, not attention
+    # length).  GSPMD parallelizes the vmapped segment solves from the
+    # input sharding alone; requires n_segments % shooting_devices == 0.
+    shooting_devices: int = 0
     # Best-model selection by HELD-OUT anchored loss (0 disables): every
     # eval, solve out to ts_learn + k*T_hat and score against the window
     # targets (data-implied, never part of the training objective when
@@ -294,6 +303,18 @@ def train_predprey(run: PredPreyRun, log=print):
         seg_budget = max(32, int(4 * spec.max_steps * (P - 1) / (n_pts - 1)))
         spec_shoot = spec._replace(max_steps=seg_budget)
         fit_args = (target_fit[idx[:, 0]], ts_fit[idx], target_fit[idx])
+        if run.shooting_devices > 0:
+            # Parallel-in-time: place the segment axis on the mesh 'data'
+            # axis; XLA's partitioner runs each device's segment solves
+            # concurrently (no code change to the loss — sharding is data).
+            from fetode_tpu.parallel.mesh import batch_sharding, make_mesh
+            if n_seg % run.shooting_devices:
+                raise ValueError(f"{n_seg} shooting segments not divisible "
+                                 f"by shooting_devices={run.shooting_devices}")
+            sh = batch_sharding(make_mesh(run.shooting_devices))
+            fit_args = tuple(jax.device_put(a, sh) for a in fit_args)
+    elif run.shooting_devices > 0:
+        raise ValueError("shooting_devices requires shooting_points > 1")
 
     def make_scanner(budget):
         spec_b = spec._replace(max_steps=budget)

@@ -141,3 +141,29 @@ def test_traj_parallel_sharded_matches_single_device():
         TrajParallelRun(**kw, n_devices=8, model_axis=2), log=None)
     np.testing.assert_allclose(hist_sh["train"], hist_ref["train"],
                                rtol=2e-4, atol=1e-6)
+
+
+def test_shooting_segments_sharded_matches_single_device():
+    """Parallel-in-time: multiple-shooting segments sharded over the mesh
+    'data' axis (shooting_devices) must train identically to the
+    unsharded segment vmap — the partition is a pure layout change."""
+    from fetode_tpu.train.predprey_driver import PredPreyRun, train_predprey
+
+    task = PredPreyTask(n_train=13, tf_learn=1.2, tf=2.4, n_t=26)
+    spec = PredPreyNODE.kanfet(layers_hidden=(2, 4, 2), ferro_num_basis=2,
+                               max_steps=64)
+    kw = dict(task=task, spec=spec, epochs=20, epochs_per_call=10,
+              shooting_points=4)            # 12 intervals -> 4 segments
+
+    _, hist_ref = train_predprey(PredPreyRun(**kw), log=None)
+    _, hist_sh = train_predprey(PredPreyRun(**kw, shooting_devices=4),
+                                log=None)
+    np.testing.assert_allclose(hist_sh["train"], hist_ref["train"],
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_shooting_devices_requires_shooting():
+    from fetode_tpu.train.predprey_driver import PredPreyRun, train_predprey
+
+    with pytest.raises(ValueError, match="shooting_devices"):
+        train_predprey(PredPreyRun(shooting_devices=4), log=None)
