@@ -51,7 +51,9 @@ def run_predprey(cfg, out_dir, plots):
                                solver_mode=cfg.solver_mode)
     run = PredPreyRun(spec=spec, lr=cfg.lr, epochs=cfg.epochs,
                       epochs_per_call=cfg.epochs_per_call, seed=cfg.seed,
-                      consistent_time_base=cfg.consistent_time_base)
+                      consistent_time_base=cfg.consistent_time_base,
+                      shooting_points=cfg.shooting_points,
+                      shooting_devices=cfg.shooting_devices)
     logger = MetricLogger(os.path.join(out_dir, "metrics.jsonl"))
     params, hist = train_predprey(run, log=lambda m: print(m, flush=True))
     for i, (ep, tr) in enumerate(zip(hist["epoch"], hist["train"])):

@@ -37,6 +37,11 @@ class PredPreyPreset:
     # reference's t_learn grid runs 2.24% slow — see
     # PredPreyRun.consistent_time_base; flagship quality runs set True).
     consistent_time_base: bool = False
+    # Multiple shooting (PredPreyRun.shooting_points; 0 disables) and
+    # parallel-in-time segment sharding over the mesh 'data' axis
+    # (PredPreyRun.shooting_devices).
+    shooting_points: int = 0
+    shooting_devices: int = 0
     seed: int = 0
 
 

@@ -106,6 +106,18 @@ def test_cli_predprey_pallas_mode(tmp_path):
     assert "epochs_per_sec" in result
 
 
+def test_cli_predprey_shooting(tmp_path):
+    """--shooting-points segments the fit window (34 intervals -> 17
+    2-interval segments at P=3) and must train through the CLI."""
+    from fetode_tpu.cli import main
+
+    result = main(["predprey", "--out-dir", str(tmp_path),
+                   "--epochs", "20", "--epochs-per-call", "10",
+                   "--method", "rk4", "--layers", "2,4,2",
+                   "--ferro-num-basis", "2", "--shooting-points", "3"])
+    assert "epochs_per_sec" in result
+
+
 def test_cli_ecg_smoke(tmp_path, monkeypatch):
     from fetode_tpu.cli import main
 
