@@ -18,7 +18,8 @@ import sys
 def _parse(argv):
     p = argparse.ArgumentParser(prog="fetode_tpu", description=__doc__)
     p.add_argument("workload", choices=["predprey", "ecg", "ett",
-                                        "cond_diffusion", "timemmd", "mnist"])
+                                        "cond_diffusion", "timemmd", "mnist",
+                                        "symbolic"])
     p.add_argument("--out-dir", default="runs/latest")
     p.add_argument("--plots", action="store_true", help="save plot artifacts")
     args, unknown = p.parse_known_args(argv)
@@ -294,6 +295,36 @@ def run_timemmd(cfg, out_dir, plots):
     return {"test_mse": hist["test_mse"]}
 
 
+def run_symbolic(cfg, out_dir, plots):
+    """The reference's symbolic-regression demo (smooth_test_KAN_ferro.py):
+    fit y = sin x + 0.1 x^2 with a 2-layer ferro-KAN, save the trained
+    params (its `torch.save` of KAN_ferro_SR_trained.pth) and, with
+    --plots, the per-basis P-E hysteresis loops it visualises."""
+    import numpy as np
+
+    from fetode_tpu.models.symbolic import SymbolicNetSpec, train_symbolic
+
+    spec = SymbolicNetSpec(hidden=cfg.hidden, num_basis=cfg.num_basis,
+                           l1_coef=cfg.l1_coef)
+    params, losses = train_symbolic(spec, epochs=cfg.epochs, lr=cfg.lr,
+                                    n_points=cfg.n_points, seed=cfg.seed,
+                                    log=lambda m: print(m, flush=True))
+    np.savez(os.path.join(out_dir, "symbolic_trained.npz"),
+             **{f"{layer}.{k}": np.asarray(v)
+                for layer, d in params.items() for k, v in d.items()})
+    if plots:
+        from fetode_tpu.diag.hysteresis import plot_loops
+        from fetode_tpu.diag.plots import plot_losses
+        from fetode_tpu.ops.ferro import FerroParams
+
+        plot_losses({"loss": losses}, os.path.join(out_dir, "loss.png"))
+        for name, cfg_l in (("l1", spec.l1_cfg), ("l2", spec.l2_cfg)):
+            plot_loops(FerroParams(**params[name]), cfg_l,
+                       os.path.join(out_dir, "hysteresis"),
+                       max_panels=6, prefix=name)
+    return {"final_loss": float(losses[-1]), "initial_loss": float(losses[0])}
+
+
 def run_mnist(cfg, out_dir, plots):
     import jax
     import jax.numpy as jnp
@@ -365,6 +396,7 @@ RUNNERS = {
     "cond_diffusion": run_cond_diffusion,
     "timemmd": run_timemmd,
     "mnist": run_mnist,
+    "symbolic": run_symbolic,
 }
 
 

@@ -136,6 +136,20 @@ class MNISTPreset:
     seed: int = 0
 
 
+@dataclass
+class SymbolicPreset:
+    """smooth_test_KAN_ferro.py:125-160 (2-layer ferro-KAN symbolic
+    regression of y = sin x + 0.1 x^2 with L1 coef pruning)."""
+
+    hidden: int = 8
+    num_basis: int = 6
+    l1_coef: float = 1e-3
+    epochs: int = 300
+    lr: float = 5e-3
+    n_points: int = 128
+    seed: int = 0
+
+
 PRESETS = {
     "predprey": PredPreyPreset,
     "ecg": ECGPreset,
@@ -143,6 +157,7 @@ PRESETS = {
     "cond_diffusion": CondDiffusionPreset,
     "timemmd": TimeMMDPreset,
     "mnist": MNISTPreset,
+    "symbolic": SymbolicPreset,
 }
 
 

@@ -118,6 +118,16 @@ def test_cli_predprey_shooting(tmp_path):
     assert "epochs_per_sec" in result
 
 
+def test_cli_symbolic_smoke(tmp_path):
+    from fetode_tpu.cli import main
+
+    result = main(["symbolic", "--out-dir", str(tmp_path), "--epochs", "60",
+                   "--n-points", "32", "--plots"])
+    assert result["final_loss"] < result["initial_loss"]
+    assert os.path.exists(tmp_path / "symbolic_trained.npz")
+    assert os.path.exists(tmp_path / "hysteresis")
+
+
 def test_cli_ecg_smoke(tmp_path, monkeypatch):
     from fetode_tpu.cli import main
 
