@@ -51,21 +51,10 @@ def _stage(name, fn, *args, **kwargs):
 
 def _device_init_watchdog(timeout_s: float):
     """Fail fast if backend init hangs (e.g. a dead axon TPU tunnel —
-    observed to block ``jax.devices()`` indefinitely).  A daemon thread
-    arms a hard exit; call the returned ``disarm()`` once devices are up."""
-    import threading
+    observed to block ``jax.devices()`` indefinitely)."""
+    from fetode_tpu.utils.debug import device_init_watchdog
 
-    done = threading.Event()
-
-    def watch():
-        if not done.wait(timeout_s):
-            print(f"[bench] FATAL: device init exceeded {timeout_s:.0f}s "
-                  "(TPU tunnel down?) — aborting instead of hanging",
-                  file=sys.stderr, flush=True)
-            os._exit(3)
-
-    threading.Thread(target=watch, daemon=True).start()
-    return done.set
+    return device_init_watchdog(timeout_s)
 
 
 def _enable_compile_cache():

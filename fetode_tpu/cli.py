@@ -22,6 +22,10 @@ def _parse(argv):
                                         "symbolic"])
     p.add_argument("--out-dir", default="runs/latest")
     p.add_argument("--plots", action="store_true", help="save plot artifacts")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="pin the jax platform (env vars alone cannot "
+                        "override a registered TPU plugin; this sets the "
+                        "jax_platforms config flag before device init)")
     args, unknown = p.parse_known_args(argv)
     overrides = {}
     key = None
@@ -407,6 +411,16 @@ def main(argv=None):
     cfg = make_config(args.workload, overrides)
     os.makedirs(args.out_dir, exist_ok=True)
     print(f"workload={args.workload} config={cfg}")
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from fetode_tpu.utils.debug import device_init_watchdog
+
+    disarm = device_init_watchdog(
+        float(os.environ.get("FETODE_DEVICE_TIMEOUT", "300")))
+    jax.devices()
+    disarm()
     result = RUNNERS[args.workload](cfg, args.out_dir, args.plots)
     with open(os.path.join(args.out_dir, "result.json"), "w") as f:
         json.dump(result, f, indent=2)

@@ -45,3 +45,26 @@ def tree_health(tree) -> dict:
             "nonfinite": int((~jnp.isfinite(leaf)).sum()),
         }
     return out
+
+
+def device_init_watchdog(timeout_s: float = 300.0):
+    """Fail fast if backend init hangs (a dead remote-TPU tunnel blocks
+    ``jax.devices()`` indefinitely with no exception to catch).  Arms a
+    daemon thread that hard-exits after ``timeout_s``; call the returned
+    ``disarm()`` once devices are up.  Used by bench.py and the CLI
+    around their first device touch."""
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(f"FATAL: jax device init exceeded {timeout_s:.0f}s "
+                  "(remote TPU tunnel down?). Pass --platform cpu (CLI) "
+                  "or fix the tunnel.", file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done.set
