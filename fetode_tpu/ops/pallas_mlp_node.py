@@ -355,6 +355,27 @@ _FIELD_KEYS = ("ln_scale", "ln_bias", "field_mixer", "kan", "out_w",
                "out_b", "log_alpha", "scale")
 
 
+def pallas_mlp_node_solve_sharded(params, h0, spec, mesh, *,
+                                  axis="data", interpret=None):
+    """Data-parallel whole-solve over a device mesh (see
+    pallas_logistic_node.pallas_logistic_node_solve_sharded)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    from jax.sharding import PartitionSpec as P
+
+    if h0.shape[0] % mesh.shape[axis]:
+        raise ValueError(f"batch {h0.shape[0]} not divisible by "
+                         f"{axis}={mesh.shape[axis]}")
+    fn = make_mlp_node_solver(spec.latent_dim, spec.num_basis,
+                              spec.ode_hidden, rtol=spec.rtol,
+                              atol=spec.atol, max_steps=spec.max_steps,
+                              h_bound=spec.h_bound, interpret=interpret)
+    solve = jax.shard_map(
+        lambda fp, h: fn(fp, h), mesh=mesh,
+        in_specs=(P(), P(axis)), out_specs=P(axis), check_vma=False)
+    return solve({k: params[k] for k in _FIELD_KEYS}, h0)
+
+
 def pallas_mlp_node_solve(params, h0, spec, *, interpret=None):
     """Solve the ``KanFetNODESpec`` (field='mlp') latent ODE with the
     in-kernel adjoint.  ``params`` is the model param dict."""

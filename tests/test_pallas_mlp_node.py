@@ -103,3 +103,35 @@ def test_model_apply_pallas_mode(setup):
     for name in ("encoder_w", "cls_w", "out_w", "ln_scale", "log_alpha"):
         np.testing.assert_allclose(np.asarray(gp[name]), np.asarray(gs[name]),
                                    rtol=1e-4, atol=1e-6, err_msg=name)
+
+
+def test_sharded_matches_per_shard_solves(setup):
+    """shard_map DP == concatenated per-shard solves + psum'd grads
+    (batch-global step control makes per-shard the defined contract)."""
+    import jax.flatten_util
+
+    from fetode_tpu.ops.pallas_mlp_node import pallas_mlp_node_solve_sharded
+    from fetode_tpu.parallel import make_mesh
+
+    spec, params, _ = setup
+    mesh = make_mesh(8)
+    h0 = jax.random.normal(jax.random.PRNGKey(6), (16, spec.latent_dim))
+
+    def loss_sharded(fp):
+        p = dict(params, **fp)
+        return jnp.sum(pallas_mlp_node_solve_sharded(p, h0, spec, mesh) ** 2)
+
+    def loss_pershard(fp):
+        p = dict(params, **fp)
+        outs = [pallas_mlp_node_solve(p, h0[2 * i:2 * i + 2], spec)
+                for i in range(8)]
+        return jnp.sum(jnp.concatenate(outs) ** 2)
+
+    sub = {k: params[k] for k in _FIELD_KEYS}
+    l1, g1 = jax.value_and_grad(loss_sharded)(sub)
+    l2, g2 = jax.value_and_grad(loss_pershard)(sub)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    f2, _ = jax.flatten_util.ravel_pytree(g2)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
+                               rtol=1e-4, atol=1e-6)
