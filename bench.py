@@ -51,10 +51,27 @@ def _stage(name, fn, *args, **kwargs):
 
 def _device_init_watchdog(timeout_s: float):
     """Fail fast if backend init hangs (e.g. a dead axon TPU tunnel —
-    observed to block ``jax.devices()`` indefinitely)."""
-    from fetode_tpu.utils.debug import device_init_watchdog
+    observed to block ``jax.devices()`` indefinitely).  Deliberately
+    dependency-free (threading only): importing fetode_tpu BEFORE the
+    guard is armed would run the package import chain unguarded —
+    exactly the window this watchdog exists to cover.  timeout_s <= 0
+    disables.  The CLI's equivalent lives in
+    fetode_tpu/utils/debug.py: device_init_watchdog."""
+    import threading
 
-    return device_init_watchdog(timeout_s)
+    if timeout_s <= 0:
+        return lambda: None
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(f"[bench] FATAL: device init exceeded {timeout_s:.0f}s "
+                  "(TPU tunnel down?) — aborting instead of hanging",
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done.set
 
 
 def _enable_compile_cache():

@@ -326,7 +326,8 @@ def run_symbolic(cfg, out_dir, plots):
             plot_loops(FerroParams(**params[name]), cfg_l,
                        os.path.join(out_dir, "hysteresis"),
                        max_panels=6, prefix=name)
-    return {"final_loss": float(losses[-1]), "initial_loss": float(losses[0])}
+    return {"final_loss": float(losses[-1]) if len(losses) else None,
+            "initial_loss": float(losses[0]) if len(losses) else None}
 
 
 def run_mnist(cfg, out_dir, plots):

@@ -98,7 +98,7 @@ def train_symbolic(spec: SymbolicNetSpec = SymbolicNetSpec(),
 
     scanner = make_epoch_scanner(loss_fn, tx, epochs)
     state, losses = scanner(state, x, y)
-    if log is not None:
+    if log is not None and epochs > 0:
         log(f"symbolic regression: loss {float(losses[0]):.4f} -> "
             f"{float(losses[-1]):.4f}")
     return state.params, np.asarray(losses)

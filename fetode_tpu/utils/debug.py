@@ -51,19 +51,25 @@ def device_init_watchdog(timeout_s: float = 300.0):
     """Fail fast if backend init hangs (a dead remote-TPU tunnel blocks
     ``jax.devices()`` indefinitely with no exception to catch).  Arms a
     daemon thread that hard-exits after ``timeout_s``; call the returned
-    ``disarm()`` once devices are up.  Used by bench.py and the CLI
-    around their first device touch."""
+    ``disarm()`` once devices are up.  ``timeout_s <= 0`` disables (the
+    opt-out for FETODE_DEVICE_TIMEOUT).  Used by the CLI around its
+    first device touch; bench.py keeps a dependency-free local copy so
+    the guard is armed before any fetode_tpu import runs."""
     import os
     import sys
     import threading
 
+    if timeout_s <= 0:
+        return lambda: None
     done = threading.Event()
 
     def watch():
         if not done.wait(timeout_s):
             print(f"FATAL: jax device init exceeded {timeout_s:.0f}s "
-                  "(remote TPU tunnel down?). Pass --platform cpu (CLI) "
-                  "or fix the tunnel.", file=sys.stderr, flush=True)
+                  "(remote TPU tunnel down?). Pin the platform with "
+                  "--platform cpu, set FETODE_DEVICE_TIMEOUT=0 to wait "
+                  "forever, or fix the tunnel.", file=sys.stderr,
+                  flush=True)
             os._exit(3)
 
     threading.Thread(target=watch, daemon=True).start()
