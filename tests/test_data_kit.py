@@ -114,3 +114,59 @@ def test_multimodal_fusion_pipeline():
     assert_feature_dim(7, X)
     with pytest.raises(ValueError):
         assert_feature_dim(9, X)
+
+
+def test_dataset_ett_minute_borders(tmp_path):
+    """Minute-level Informer borders are 4x the hour borders (15-min
+    sampling: 12/4/4 month splits, data_loader.py:101-185); exercised on
+    a synthetic ETTm-sized frame since ETTm1.csv is absent here."""
+    import pandas as pd
+
+    from fetode_tpu.data.informer import dataset_ett_minute
+
+    n = (12 * 30 * 24 + 8 * 30 * 24) * 4          # test-border end
+    dates = pd.date_range("2016-07-01", periods=n, freq="15min")
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({"date": dates.astype(str),
+                       "feat": rng.normal(size=n).astype(np.float32),
+                       "OT": rng.normal(size=n).astype(np.float32)})
+    csv = tmp_path / "ETTm1.csv"
+    df.to_csv(csv, index=False)
+
+    win, scaler = dataset_ett_minute(flag="train", size=(16, 8, 8),
+                                     data_path=str(csv))
+    assert len(win.seq_x) == 12 * 30 * 24 * 4 - 16 - 8 + 1
+    assert win.seq_x.shape[1:] == (16, 1)          # 'S' mode: target only
+    win_te, _ = dataset_ett_minute(flag="test", size=(16, 8, 8),
+                                   data_path=str(csv))
+    assert len(win_te.seq_x) == 4 * 30 * 24 * 4 - 8 + 1
+    # scaler fit on the train slice only
+    tr = df["OT"].values[: 12 * 30 * 24 * 4].astype(np.float32)
+    np.testing.assert_allclose(float(scaler.mu.ravel()[-1]), tr.mean(),
+                               atol=1e-4)
+
+
+def test_cubic_hermite_exact_on_cubics():
+    """The Hermite interpolant must reproduce a cubic exactly from
+    endpoint values + slopes."""
+    from fetode_tpu.ops.interp import cubic_hermite
+
+    def f(t):
+        return 2.0 * t ** 3 - t ** 2 + 3.0 * t - 1.0
+
+    def fp(t):
+        return 6.0 * t ** 2 - 2.0 * t + 3.0
+
+    t0, t1 = 0.5, 2.0
+    for t in (0.5, 0.9, 1.3, 2.0):
+        out = cubic_hermite(t0, f(t0), fp(t0), t1, f(t1), fp(t1), t)
+        np.testing.assert_allclose(float(out), f(t), rtol=1e-6)
+
+
+def test_plot_model_comparison(tmp_path):
+    from fetode_tpu.diag.plots import plot_model_comparison
+
+    out = str(tmp_path / "cmp.png")
+    plot_model_comparison({"a": [1.0, 0.5], "b": [0.9, 0.4]}, out)
+    import os
+    assert os.path.exists(out)

@@ -167,3 +167,26 @@ def test_shooting_devices_requires_shooting():
 
     with pytest.raises(ValueError, match="shooting_devices"):
         train_predprey(PredPreyRun(shooting_devices=4), log=None)
+
+
+def test_multislice_mesh_and_global_sharding():
+    """On single-slice CPU hosts make_multislice_mesh degrades to dcn=1;
+    global_batch_sharding spans (dcn, data) and round-trips a batch."""
+    from fetode_tpu.parallel.multihost import (
+        global_batch_sharding,
+        make_multislice_mesh,
+    )
+
+    mesh = make_multislice_mesh(model=2)
+    assert mesh.axis_names == ("dcn", "data", "model")
+    assert mesh.shape["dcn"] == 1 and mesh.shape["model"] == 2
+    sh = global_batch_sharding(mesh)
+    x = jnp.arange(8.0 * 3).reshape(8, 3)
+    xs = jax.device_put(x, sh)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(x))
+
+
+def test_tree_size():
+    from fetode_tpu.utils.trees import tree_size
+
+    assert tree_size({"a": jnp.zeros((2, 3)), "b": [jnp.zeros(4)]}) == 10
