@@ -100,14 +100,17 @@ def run_ecg(cfg, out_dir, plots):
     if cfg.model == "kanfet_node":
         spec = M.KanFetNODESpec(T=T, latent_dim=cfg.latent_dim,
                                 num_basis=cfg.num_basis, solver=cfg.solver,
-                                rtol=cfg.rtol, atol=cfg.atol)
+                                rtol=cfg.rtol, atol=cfg.atol,
+                                field=cfg.field,
+                                solver_mode=cfg.solver_mode)
         init_fn = lambda k: M.kanfet_node_init(k, spec)
         apply_fn = lambda p, x, key: M.kanfet_node_apply(p, spec, x)
     elif cfg.model == "kanfet_mlp_node":
         spec = M.KanFetMLPNODESpec(T=T, latent_dim=cfg.latent_dim,
                                    num_basis=cfg.num_basis, solver=cfg.solver,
                                    rtol=cfg.rtol, atol=cfg.atol,
-                                   noise_std=cfg.noise_std)
+                                   noise_std=cfg.noise_std,
+                                   solver_mode=cfg.solver_mode)
         init_fn = lambda k: M.kanfet_mlp_node_init(k, spec)
         apply_fn = lambda p, x, key: M.kanfet_mlp_node_apply(
             p, spec, x, noise_key=key if cfg.noise_std > 0 else None)

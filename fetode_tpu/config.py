@@ -61,6 +61,13 @@ class ECGPreset:
     rtol: float = 1e-2
     atol: float = 1e-3
     noise_std: float = 0.0
+    # "scan" (checkpointed XLA) or "pallas" (whole-solve in-kernel
+    # adjoint) on the NODE models; the ferro kernel requires
+    # noise_std == 0 (falls back to XLA otherwise).
+    solver_mode: str = "scan"
+    # kanfet_node latent field: "plain" (No_MLP_KANODEFunc) or "mlp"
+    # (MLPKANODEFunc with the B-spline KAN stack).
+    field: str = "plain"
     # Epochs per device dispatch (ECGRun.epochs_per_call): >1 blocks
     # whole epoch groups into one jit (3-4x on fast models); 1 keeps the
     # reference's per-epoch eval/best-tracking.
