@@ -160,7 +160,11 @@ def run_ecg(cfg, out_dir, plots):
                     logy=False)
         if loops_fn is not None:
             # P-E hysteresis loops with the TRAINED device parameters (the
-            # reference's visualisers, train_ecg.py:673-877).
+            # reference's visualisers, train_ecg.py:673-877).  Noisy runs
+            # additionally emit the noisy-device panels
+            # (compare_noise_ecg.py:398-513).
+            import jax
+
             from fetode_tpu.diag.hysteresis import plot_loops
             from fetode_tpu.ops.ferro import FerroParams
 
@@ -168,6 +172,11 @@ def run_ecg(cfg, out_dir, plots):
                 plot_loops(FerroParams(**fp), fcfg,
                            os.path.join(out_dir, "hysteresis"),
                            max_panels=6, prefix=prefix)
+                if cfg.noise_std > 0:
+                    plot_loops(FerroParams(**fp), fcfg,
+                               os.path.join(out_dir, "hysteresis"),
+                               max_panels=6, prefix=f"{prefix}_noisy",
+                               noise_key=jax.random.PRNGKey(cfg.seed))
     return {"best_test_acc": hist["best_test_acc"]}
 
 

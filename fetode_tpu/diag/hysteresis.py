@@ -29,23 +29,36 @@ from fetode_tpu.ops.ferro import (
 
 
 def sweep_loop(params: FerroParams, cfg: FerroConfig, *, e_max: float = 3.0,
-               n_points: int = 81):
+               n_points: int = 81, noise_key: Optional[jax.Array] = None):
     """Drive every basis function through an up-then-down field sweep.
 
     Returns ``(fields (2N,), responses (2N, in, out, K))`` — responses are
     the raw basis values, state threaded through the sweep.
+
+    By default the sweep shows the CLEAN device response even when
+    ``cfg.noise_std > 0``; pass ``noise_key`` to draw fresh device noise
+    at every field point instead — the reference's noisy-loop
+    visualisers (``compare_noise_ecg.py:398-513``).
     """
-    cfg = cfg._replace(noise_std=0.0)   # visualise the clean device response
+    if noise_key is None:
+        cfg = cfg._replace(noise_std=0.0)   # clean device response
     up = np.linspace(-e_max, e_max, n_points)
     fields = np.concatenate([up, up[::-1]])
     state = ferro_state_init((1,), cfg)
+    keys = (jax.random.split(noise_key, len(fields))
+            if noise_key is not None and cfg.noise_std > 0
+            else jnp.zeros((len(fields), 2), jnp.uint32))
+    use_noise = noise_key is not None and cfg.noise_std > 0
 
-    def step(state, e):
+    def step(state, ek):
+        e, k = ek
         x = jnp.full((1, cfg.in_dim), e, jnp.float32)
-        b, state = ferro_basis(params, state, x, cfg)
+        b, state = ferro_basis(params, state, x, cfg,
+                               noise_key=k if use_noise else None)
         return state, b[0]
 
-    _, responses = jax.lax.scan(step, state, jnp.asarray(fields, jnp.float32))
+    _, responses = jax.lax.scan(
+        step, state, (jnp.asarray(fields, jnp.float32), keys))
     return fields, np.asarray(responses)
 
 
@@ -63,15 +76,19 @@ def loop_openness(params: FerroParams, cfg: FerroConfig, **kw) -> np.ndarray:
 
 def plot_loops(params: FerroParams, cfg: FerroConfig, out_dir: str,
                *, max_panels: int = 16, e_max: float = 3.0,
-               n_points: int = 81, prefix: str = "hysteresis"):
+               n_points: int = 81, prefix: str = "hysteresis",
+               noise_key: Optional[jax.Array] = None):
     """Save P-E loop panels (one per basis function, learned params in the
-    title) to ``out_dir`` — the artifact set of the reference visualisers."""
+    title) to ``out_dir`` — the artifact set of the reference visualisers.
+    ``noise_key`` draws fresh device noise per field point (the noisy-loop
+    panels of ``compare_noise_ecg.py``)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     os.makedirs(out_dir, exist_ok=True)
-    fields, resp = sweep_loop(params, cfg, e_max=e_max, n_points=n_points)
+    fields, resp = sweep_loop(params, cfg, e_max=e_max, n_points=n_points,
+                              noise_key=noise_key)
     n = len(fields) // 2
 
     count = 0

@@ -259,6 +259,9 @@ def ferro_kan_rnn_apply(params, cfg: FerroKANRNNConfig, x_seq, *,
     B, T, _ = x_seq.shape
     h0 = jnp.zeros((B, cfg.hidden_size), x_seq.dtype)
     s0 = ferro_kan_cell_state((B,), cfg.cell, x_seq.dtype)
+    head_key = None
+    if noise_key is not None:
+        noise_key, head_key = jax.random.split(noise_key)
     keys = (jax.random.split(noise_key, T) if noise_key is not None
             else jnp.zeros((T, 2), jnp.uint32))
 
@@ -273,9 +276,11 @@ def ferro_kan_rnn_apply(params, cfg: FerroKANRNNConfig, x_seq, *,
     (hT, sT), _ = jax.lax.scan(step, (h0, s0),
                                (jnp.swapaxes(x_seq, 0, 1), keys))
 
+    # The head basis is a noisy device too (train_noisy_ecg.py swaps ALL
+    # bases for NoisyFerroelectricBasis) — it gets its own key split.
     head_state = ferro_state_init((B,), cfg.head_cfg, x_seq.dtype)
     feat, _ = ferro_apply(FerroParams(**params["head_basis"]), head_state,
-                          hT, cfg.head_cfg)
+                          hT, cfg.head_cfg, noise_key=head_key)
     return jnp.tanh(feat) @ params["head_weight"].T
 
 

@@ -23,6 +23,25 @@ def test_hysteresis_sweep_shapes(key):
     assert resp.shape == (42, 2, 3, 4)
 
 
+def test_noisy_sweep_differs_from_clean(key):
+    """noise_key draws fresh device noise per field point (the noisy-loop
+    visualisers of compare_noise_ecg.py); default stays clean even on a
+    noisy config."""
+    import jax
+
+    cfg = FerroConfig(1, 2, 3, noise_std=0.3)
+    params = ferro_init(key, cfg)
+    _, clean = sweep_loop(params, cfg, n_points=15)
+    _, clean2 = sweep_loop(params, cfg, n_points=15)
+    np.testing.assert_array_equal(clean, clean2)      # deterministic
+    _, noisy = sweep_loop(params, cfg, n_points=15,
+                          noise_key=jax.random.PRNGKey(7))
+    assert np.abs(noisy - clean).max() > 0.01
+    # successive field points see DIFFERENT noise draws
+    d = noisy - clean
+    assert not np.allclose(d[0], d[1])
+
+
 def test_loop_openness_positive(key):
     cfg = FerroConfig(1, 1, 2)
     params = ferro_init(key, cfg)
@@ -148,8 +167,11 @@ def test_cli_ecg_ferro_plots_emit_hysteresis_pngs(tmp_path, monkeypatch):
     monkeypatch.setenv("FETODE_DATA_DIR", str(tmp_path))
     result = main(["ecg", "--out-dir", str(tmp_path), "--epochs", "2",
                    "--model", "fepa_rnn", "--latent-dim", "6",
-                   "--num-basis", "2", "--batch-size", "16", "--plots"])
+                   "--num-basis", "2", "--batch-size", "16",
+                   "--noise-std", "0.2", "--plots"])
     assert "best_test_acc" in result
     pngs = os.listdir(tmp_path / "hysteresis")
     assert any(p.startswith("cell_input") for p in pngs)
     assert any(p.startswith("head") for p in pngs)
+    # noisy run: the noisy-device panels are emitted alongside
+    assert any("_noisy" in p for p in pngs)
