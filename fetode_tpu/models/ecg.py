@@ -223,7 +223,11 @@ def kanfet_mlp_node_field(params, spec: KanFetMLPNODESpec, t, h, states,
     s1, s2 = states
     k1 = k2 = None
     if noise_keys is not None:
-        k1, k2 = noise_keys
+        # fresh device noise at every RHS evaluation (the reference's
+        # randn_like draws per forward call): fold the evaluation time —
+        # distinct across steps and RK stages — into the per-layer keys
+        ti = (t * jnp.float32(1e6)).astype(jnp.int32)
+        k1, k2 = (jax.random.fold_in(k, ti) for k in noise_keys)
     h = spec.h_bound * jnp.tanh(h / spec.h_bound)
     z, _ = ferro_apply(FerroParams(**params["fc1"]), s1, h, spec.fc1_cfg,
                        noise_key=k1)
@@ -314,7 +318,12 @@ def node_rnn_init(key, spec: NodeRNNSpec, dtype=jnp.float32):
 
 
 def node_rnn_encode(params, spec: NodeRNNSpec, x_seq, *, noise_key=None):
-    """Single-sample encoder: x_seq (T, D) -> (H,).  Batched via vmap."""
+    """Single-sample encoder: x_seq (T, D) -> (H,).  Batched via vmap.
+
+    Device noise is FRESH at every RHS evaluation (the reference's
+    ``randn_like`` inside the odefunc draws per-call,
+    train_noisy_ecg.py:355-379): the key is folded with the evaluation
+    time, which is distinct across steps and RK stages."""
     T = x_seq.shape[0]
     t_grid = jnp.linspace(0.0, 1.0, T, dtype=x_seq.dtype)
     h0 = x_seq[0] @ params["lift_w"].T + params["lift_b"]
@@ -323,8 +332,11 @@ def node_rnn_encode(params, spec: NodeRNNSpec, x_seq, *, noise_key=None):
     def rhs(t, h):
         x_t = linear_interp(t_grid, x_seq, t)
         hx = jnp.concatenate([h, x_t], axis=-1)
+        nk = (jax.random.fold_in(noise_key,
+                                 (t * jnp.float32(1e6)).astype(jnp.int32))
+              if noise_key is not None else None)
         phi, _ = ferro_apply(FerroParams(**params["basis"]), state, hx,
-                             spec.basis_cfg, noise_key=noise_key)
+                             spec.basis_cfg, noise_key=nk)
         return jnp.tanh(phi) * params["gain"] + params["bias"]
 
     return integrate_final(rhs, h0, 0.0, 1.0, method=spec.solver,
@@ -337,9 +349,13 @@ def node_rnn_apply(params, spec: NodeRNNSpec, x, *, noise_key=None):
     if x.ndim == 2:
         x = x[..., None]
     B = x.shape[0]
+    cell_key = None
     if noise_key is not None:
         # independent device noise per sample (the reference's randn_like on
-        # a batched tensor draws per-sample noise)
+        # a batched tensor draws per-sample noise); the refinement cell is
+        # a noisy device too and gets its own key (batched basis shape
+        # already draws per-sample noise there)
+        noise_key, cell_key = jax.random.split(noise_key)
         hT = jax.vmap(lambda xb, k: node_rnn_encode(params, spec, xb,
                                                     noise_key=k))(
             x, jax.random.split(noise_key, B))
@@ -347,7 +363,8 @@ def node_rnn_apply(params, spec: NodeRNNSpec, x, *, noise_key=None):
         hT = jax.vmap(lambda xb: node_rnn_encode(params, spec, xb))(x)
     h = jnp.zeros((B, spec.hidden_size), x.dtype)
     cstate = ferro_kan_cell_state((B,), spec.cell_cfg, x.dtype)
-    h1, _ = ferro_kan_cell_apply(params["cell"], spec.cell_cfg, hT, h, cstate)
+    h1, _ = ferro_kan_cell_apply(params["cell"], spec.cell_cfg, hT, h, cstate,
+                                 noise_key=cell_key)
     return h1 @ params["head_w"].T + params["head_b"]
 
 

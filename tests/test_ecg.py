@@ -234,3 +234,46 @@ def test_blocked_epochs_driver():
     assert len(hist["loss"]) == 3            # blocks of 6, 6, 3
     assert hist["best_test_acc"] > 0.6, hist["test_acc"]
     assert hist["loss"][-1] < hist["loss"][0]
+
+
+def test_device_noise_fresh_per_rhs_eval():
+    """The ferro field is AUTONOMOUS except for device noise, so with keys
+    fixed its value at two different times must differ iff noise is on —
+    the reference's randn_like draws fresh noise at every RHS evaluation
+    (train_noisy_ecg.py), not once per solve."""
+    from fetode_tpu.models.ecg import kanfet_mlp_node_field
+    from fetode_tpu.ops.ferro import ferro_state_init
+
+    key = jax.random.PRNGKey(3)
+    for std, expect_differ in ((0.3, True), (0.0, False)):
+        spec = KanFetMLPNODESpec(T=24, latent_dim=8, num_basis=3,
+                                 ode_hidden=8, noise_std=std)
+        p = kanfet_mlp_node_init(key, spec)
+        h = jax.random.normal(key, (4, 8))
+        states = (ferro_state_init((4,), spec.fc1_cfg, h.dtype),
+                  ferro_state_init((4,), spec.fc2_cfg, h.dtype))
+        nkeys = jax.random.split(key) if std > 0 else None
+        f1 = kanfet_mlp_node_field(p, spec, jnp.float32(0.25), h, states,
+                                   nkeys)
+        f2 = kanfet_mlp_node_field(p, spec, jnp.float32(0.75), h, states,
+                                   nkeys)
+        differs = not np.allclose(np.asarray(f1), np.asarray(f2))
+        assert differs == expect_differ, (std, differs)
+
+
+def test_noisy_node_rnn_runs_and_is_key_deterministic():
+    """Regression: the noisy NODE_RNN previously crashed at the refinement
+    cell (no key); it must run, reproduce per key, and vary across keys."""
+    from fetode_tpu.models.ecg import NodeRNNSpec, node_rnn_apply, node_rnn_init
+
+    spec = NodeRNNSpec(hidden_size=8, num_basis=3, n_steps=4, noise_std=0.3)
+    key = jax.random.PRNGKey(5)
+    p = node_rnn_init(key, spec)
+    x = jax.random.normal(key, (4, 24))
+    k0, k1 = jax.random.split(jax.random.PRNGKey(0))
+    out0 = node_rnn_apply(p, spec, x, noise_key=k0)
+    out0b = node_rnn_apply(p, spec, x, noise_key=k0)
+    out1 = node_rnn_apply(p, spec, x, noise_key=k1)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(out0b))
+    assert not np.allclose(np.asarray(out0), np.asarray(out1))
+    assert np.isfinite(np.asarray(out0)).all()
