@@ -146,7 +146,15 @@ def test_traj_parallel_sharded_matches_single_device():
 def test_shooting_segments_sharded_matches_single_device():
     """Parallel-in-time: multiple-shooting segments sharded over the mesh
     'data' axis (shooting_devices) must train identically to the
-    unsharded segment vmap — the partition is a pure layout change."""
+    unsharded segment vmap — the partition is a pure layout change.
+
+    The persistent compilation cache is disabled for this test:
+    serializing the sharded shooting executable for the cache segfaults
+    jaxlib when it runs late in the full suite (reproduced twice at the
+    same frame, compilation_cache.put_executable_and_time; the same
+    compile passes standalone).  The cache write is the only casualty —
+    correctness is unaffected.
+    """
     from fetode_tpu.train.predprey_driver import PredPreyRun, train_predprey
 
     task = PredPreyTask(n_train=13, tf_learn=1.2, tf=2.4, n_t=26)
@@ -155,9 +163,19 @@ def test_shooting_segments_sharded_matches_single_device():
     kw = dict(task=task, spec=spec, epochs=20, epochs_per_call=10,
               shooting_points=4)            # 12 intervals -> 4 segments
 
-    _, hist_ref = train_predprey(PredPreyRun(**kw), log=None)
-    _, hist_sh = train_predprey(PredPreyRun(**kw, shooting_devices=4),
-                                log=None)
+    # is_cache_used() latches its decision once per process, so flipping
+    # the flag alone is a no-op mid-suite — reset_cache() un-latches it.
+    from jax._src import compilation_cache as _cc
+
+    jax.config.update("jax_enable_compilation_cache", False)
+    _cc.reset_cache()
+    try:
+        _, hist_ref = train_predprey(PredPreyRun(**kw), log=None)
+        _, hist_sh = train_predprey(PredPreyRun(**kw, shooting_devices=4),
+                                    log=None)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
+        _cc.reset_cache()
     np.testing.assert_allclose(hist_sh["train"], hist_ref["train"],
                                rtol=2e-4, atol=1e-6)
 
