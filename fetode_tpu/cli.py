@@ -168,15 +168,18 @@ def run_ecg(cfg, out_dir, plots):
             from fetode_tpu.diag.hysteresis import plot_loops
             from fetode_tpu.ops.ferro import FerroParams
 
-            for prefix, fp, fcfg in loops_fn(params):
+            for li, (prefix, fp, fcfg) in enumerate(loops_fn(params)):
                 plot_loops(FerroParams(**fp), fcfg,
                            os.path.join(out_dir, "hysteresis"),
                            max_panels=6, prefix=prefix)
                 if cfg.noise_std > 0:
+                    # independent device noise per layer: fold the layer
+                    # index (same-shaped layers must not share draws)
                     plot_loops(FerroParams(**fp), fcfg,
                                os.path.join(out_dir, "hysteresis"),
                                max_panels=6, prefix=f"{prefix}_noisy",
-                               noise_key=jax.random.PRNGKey(cfg.seed))
+                               noise_key=jax.random.fold_in(
+                                   jax.random.PRNGKey(cfg.seed), li))
     return {"best_test_acc": hist["best_test_acc"]}
 
 

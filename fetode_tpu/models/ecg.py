@@ -216,18 +216,32 @@ def kanfet_mlp_node_init(key, spec: KanFetMLPNODESpec, dtype=jnp.float32):
 
 
 def kanfet_mlp_node_field(params, spec: KanFetMLPNODESpec, t, h, states,
-                          noise_keys=None):
+                          noise_keys=None, per_eval_noise=True):
     """Two-layer ferro field with the reference's stability armor
     (train_ecg.py:1002-1011): latent tanh bound, non-finite scrub, slope
-    clamp.  Hysteresis state is frozen during the solve."""
+    clamp.  Hysteresis state is frozen during the solve.
+
+    ``per_eval_noise=False`` freezes the device-noise draw for the whole
+    solve: an ADAPTIVE solver's embedded error estimate cannot budget a
+    white-noise RHS (measured at the preset spec: noise_std 0.2 turns 5
+    accepted dopri5 steps into budget exhaustion and silent truncation —
+    the reference's torchdiffeq has no step cap and simply grinds), so
+    the dopri5 path uses frozen noise while fixed-step solves keep the
+    reference's fresh-per-evaluation semantics."""
     s1, s2 = states
     k1 = k2 = None
     if noise_keys is not None:
-        # fresh device noise at every RHS evaluation (the reference's
-        # randn_like draws per forward call): fold the evaluation time —
-        # distinct across steps and RK stages — into the per-layer keys
-        ti = (t * jnp.float32(1e6)).astype(jnp.int32)
-        k1, k2 = (jax.random.fold_in(k, ti) for k in noise_keys)
+        k1, k2 = noise_keys
+        if per_eval_noise:
+            # Fresh device noise at every RHS evaluation (the reference's
+            # randn_like draws per forward call): fold the evaluation
+            # time's bit pattern into the per-layer keys.  Draws are
+            # distinct across steps; RK stages that evaluate at the SAME
+            # time (rk4's two midpoint stages) share a draw — keying by
+            # anything finer isn't possible from inside a pure RHS.
+            ti = jax.lax.bitcast_convert_type(
+                jnp.asarray(t, jnp.float32), jnp.int32)
+            k1, k2 = (jax.random.fold_in(k, ti) for k in (k1, k2))
     h = spec.h_bound * jnp.tanh(h / spec.h_bound)
     z, _ = ferro_apply(FerroParams(**params["fc1"]), s1, h, spec.fc1_cfg,
                        noise_key=k1)
@@ -258,9 +272,11 @@ def kanfet_mlp_node_apply(params, spec: KanFetMLPNODESpec, x, *,
     states = (ferro_state_init((B,), spec.fc1_cfg, sdt),
               ferro_state_init((B,), spec.fc2_cfg, sdt))
     nkeys = jax.random.split(noise_key) if noise_key is not None else None
+    per_eval = spec.solver != "dopri5"   # see kanfet_mlp_node_field
 
     def rhs(t, h):
-        return kanfet_mlp_node_field(params, spec, t, h, states, nkeys)
+        return kanfet_mlp_node_field(params, spec, t, h, states, nkeys,
+                                     per_eval_noise=per_eval)
 
     if spec.solver == "dopri5":
         ts = jnp.asarray([0.0, 1.0], x.dtype)
@@ -323,7 +339,10 @@ def node_rnn_encode(params, spec: NodeRNNSpec, x_seq, *, noise_key=None):
     Device noise is FRESH at every RHS evaluation (the reference's
     ``randn_like`` inside the odefunc draws per-call,
     train_noisy_ecg.py:355-379): the key is folded with the evaluation
-    time, which is distinct across steps and RK stages."""
+    time's bit pattern — distinct across steps; RK stages evaluating at
+    the same time (rk4's two midpoint stages) share a draw.  The spec's
+    solvers are all fixed-step, where stochastic RHS evaluation is
+    well-posed (no embedded error estimate to poison)."""
     T = x_seq.shape[0]
     t_grid = jnp.linspace(0.0, 1.0, T, dtype=x_seq.dtype)
     h0 = x_seq[0] @ params["lift_w"].T + params["lift_b"]
@@ -332,8 +351,8 @@ def node_rnn_encode(params, spec: NodeRNNSpec, x_seq, *, noise_key=None):
     def rhs(t, h):
         x_t = linear_interp(t_grid, x_seq, t)
         hx = jnp.concatenate([h, x_t], axis=-1)
-        nk = (jax.random.fold_in(noise_key,
-                                 (t * jnp.float32(1e6)).astype(jnp.int32))
+        nk = (jax.random.fold_in(noise_key, jax.lax.bitcast_convert_type(
+                  jnp.asarray(t, jnp.float32), jnp.int32))
               if noise_key is not None else None)
         phi, _ = ferro_apply(FerroParams(**params["basis"]), state, hx,
                              spec.basis_cfg, noise_key=nk)

@@ -238,14 +238,18 @@ def test_blocked_epochs_driver():
 
 def test_device_noise_fresh_per_rhs_eval():
     """The ferro field is AUTONOMOUS except for device noise, so with keys
-    fixed its value at two different times must differ iff noise is on —
-    the reference's randn_like draws fresh noise at every RHS evaluation
-    (train_noisy_ecg.py), not once per solve."""
+    fixed its value at two different times must differ iff per-eval noise
+    is on — the reference's randn_like draws fresh noise at every RHS
+    evaluation (train_noisy_ecg.py).  With ``per_eval_noise=False`` (the
+    dopri5 path: adaptive error control cannot budget a white-noise RHS)
+    the draw is frozen and the field is time-invariant again."""
     from fetode_tpu.models.ecg import kanfet_mlp_node_field
     from fetode_tpu.ops.ferro import ferro_state_init
 
     key = jax.random.PRNGKey(3)
-    for std, expect_differ in ((0.3, True), (0.0, False)):
+    for std, per_eval, expect_differ in ((0.3, True, True),
+                                         (0.3, False, False),
+                                         (0.0, True, False)):
         spec = KanFetMLPNODESpec(T=24, latent_dim=8, num_basis=3,
                                  ode_hidden=8, noise_std=std)
         p = kanfet_mlp_node_init(key, spec)
@@ -254,11 +258,38 @@ def test_device_noise_fresh_per_rhs_eval():
                   ferro_state_init((4,), spec.fc2_cfg, h.dtype))
         nkeys = jax.random.split(key) if std > 0 else None
         f1 = kanfet_mlp_node_field(p, spec, jnp.float32(0.25), h, states,
-                                   nkeys)
+                                   nkeys, per_eval_noise=per_eval)
         f2 = kanfet_mlp_node_field(p, spec, jnp.float32(0.75), h, states,
-                                   nkeys)
+                                   nkeys, per_eval_noise=per_eval)
         differs = not np.allclose(np.asarray(f1), np.asarray(f2))
-        assert differs == expect_differ, (std, differs)
+        assert differs == expect_differ, (std, per_eval, differs)
+
+
+def test_noisy_dopri5_solve_stays_converged():
+    """Frozen-per-solve noise keeps the adaptive solve inside its step
+    budget (per-eval noise measured: budget exhaustion + silent
+    truncation at noise_std 0.2 with the preset budget)."""
+    from fetode_tpu.models.ecg import kanfet_mlp_node_field
+    from fetode_tpu.ops.ferro import ferro_state_init
+    from fetode_tpu.solvers.dopri5 import odeint_dopri5
+
+    spec = KanFetMLPNODESpec(T=24, noise_std=0.2)   # preset-sized field
+    key = jax.random.PRNGKey(9)
+    p = kanfet_mlp_node_init(key, spec)
+    h0 = jax.random.normal(key, (4, spec.latent_dim))
+    states = (ferro_state_init((4,), spec.fc1_cfg, h0.dtype),
+              ferro_state_init((4,), spec.fc2_cfg, h0.dtype))
+    nkeys = jax.random.split(key)
+    traj, stats = odeint_dopri5(
+        lambda t, h: kanfet_mlp_node_field(p, spec, t, h, states, nkeys,
+                                           per_eval_noise=False),
+        h0, jnp.asarray([0.0, 1.0]), rtol=spec.rtol, atol=spec.atol,
+        max_steps=spec.max_steps, mode="while", full_output=True)
+    assert bool(stats.success), (int(stats.n_accepted), int(stats.n_rejected))
+    # and the apply() path routes dopri5 through exactly this frozen field
+    out = kanfet_mlp_node_apply(p, spec, jax.random.normal(key, (4, 24)),
+                                noise_key=key)
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_noisy_node_rnn_runs_and_is_key_deterministic():

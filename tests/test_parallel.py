@@ -167,6 +167,7 @@ def test_shooting_segments_sharded_matches_single_device():
     # the flag alone is a no-op mid-suite — reset_cache() un-latches it.
     from jax._src import compilation_cache as _cc
 
+    prior = jax.config.jax_enable_compilation_cache
     jax.config.update("jax_enable_compilation_cache", False)
     _cc.reset_cache()
     try:
@@ -174,7 +175,7 @@ def test_shooting_segments_sharded_matches_single_device():
         _, hist_sh = train_predprey(PredPreyRun(**kw, shooting_devices=4),
                                     log=None)
     finally:
-        jax.config.update("jax_enable_compilation_cache", True)
+        jax.config.update("jax_enable_compilation_cache", prior)
         _cc.reset_cache()
     np.testing.assert_allclose(hist_sh["train"], hist_ref["train"],
                                rtol=2e-4, atol=1e-6)
