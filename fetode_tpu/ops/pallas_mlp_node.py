@@ -29,6 +29,16 @@ Only the init-time KAN geometry of ``KanFetNODESpec.kan_cfg`` is
 supported (two layers [L, H, H], grid 5, order 3, standalone spline
 scaler); the scaler chain rule is applied host-side on the scaled-weight
 cotangent.
+
+VMEM budget (everything VMEM-resident, no grid): the backward kernel
+holds the layer-1 scaled-spline weight AND its gradient, (C*H, L) f32
+each — ~2.6 MB apiece at the default spec (D=64, K=10, H=128, L=640) and
+~3.1 MB at the ECG preset's K=12 — plus base weights, layer-2 blocks,
+and the (M, 7, B, D) attempt records.  Default-spec total ≈ 11 MB; K or
+H much beyond the preset will exceed the ~16 MB VMEM of a v5e core, at
+which point the spline weights need an in-kernel batch/feature grid or
+HBM-resident records.  Not yet measured on chip (tunnel outage; see
+benchmarks/run_ecg_mlp_kernel.py).
 """
 
 from __future__ import annotations
