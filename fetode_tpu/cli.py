@@ -431,8 +431,9 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    from fetode_tpu.utils.debug import device_init_watchdog
+    from fetode_tpu.utils.debug import device_init_watchdog, enable_compile_cache
 
+    enable_compile_cache()
     disarm = device_init_watchdog(
         float(os.environ.get("FETODE_DEVICE_TIMEOUT", "300")))
     jax.devices()

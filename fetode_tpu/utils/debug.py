@@ -74,3 +74,26 @@ def device_init_watchdog(timeout_s: float = 300.0):
 
     threading.Thread(target=watch, daemon=True).start()
     return done.set
+
+
+def enable_compile_cache(path: str | None = None,
+                         min_compile_secs: float = 0.5) -> str:
+    """Point jax's persistent compilation cache at a stable directory so
+    repeat runs skip recompilation (compile dominates cold CLI runs).
+
+    Default location: ``$FETODE_CACHE_DIR``, else ``.jax_cache`` next to
+    the package checkout (matching tests/conftest.py, bench.py and
+    __graft_entry__.py).  Returns the directory used.
+    """
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.environ.get("FETODE_CACHE_DIR") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
+    return path
