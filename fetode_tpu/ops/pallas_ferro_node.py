@@ -143,8 +143,7 @@ def _make_bwd_kernel(dims1, dims2, B, D, hidden, gate_slope, alpha,
         grads1 = refs[2 * _N_PRM:3 * _N_PRM]
         grads2 = refs[3 * _N_PRM:4 * _N_PRM]
         h0bar_ref = refs[4 * _N_PRM]
-        (z_buf, dh_buf, zb_buf, ub_buf, kbar_buf, xk1_buf,
-         xk2_buf) = refs[4 * _N_PRM + 1:]
+        ub_buf, kbar_buf, xk1_buf = refs[4 * _N_PRM + 1:]
 
         for gr in list(grads1) + list(grads2):
             gr[:] = jnp.zeros_like(gr)
@@ -154,83 +153,68 @@ def _make_bwd_kernel(dims1, dims2, B, D, hidden, gate_slope, alpha,
         iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
         n_att = misc_ref[0, 0].astype(jnp.int32)
 
+        def bwd_layer(xf, rows, prm, grads, wcol, outs):
+            """One sample's VJP through one ferro layer, reusing the
+            FORWARD-pass ``rows = (mu, cn, beta, th, fb)`` (the
+            transcendental block is evaluated once per layer per sample,
+            not recomputed here).  ``wcol`` is the (out, 1) output
+            cotangent; returns the (1, L) lane cotangent of the layer's
+            replicated input."""
+            g_fk, g_fec, g_fps, g_fbias, g_fcoef = grads
+            fk, fec, fps, fbias, fcoef = prm
+            mu, cn, beta, th, fb = rows
+            g_fcoef[:] += fb * wcol
+            fbar = fcoef * wcol                          # (out, L)
+            sech2 = 1.0 - th * th
+            g_fps[:] += th * fbar
+            g_fbias[:] += fbar
+            g_fk[:] += fps * (xf + fec * beta) * sech2 * fbar
+            gs1a = gate_slope * (1.0 - alpha)
+            dbeta_dec = 2.0 * gs1a * (1.0 - mu) * cn * (1.0 - cn)
+            dbeta_dx = 2.0 * gs1a * (1.0 - mu) * cn * (mu + 1.0 - cn)
+            common = fps * fk * sech2 * fbar
+            g_fec[:] += common * (beta + fec * dbeta_dec)
+            xfbar = common * (1.0 + fec * dbeta_dx)      # (out, L)
+            # row-sum over out -> (1, L) lane cotangent
+            return _dot(jnp.ones((1, outs), jnp.float32), xfbar, 1, 0)
+
         def field_vjp(u, w):
-            """Cotangent of the field at input u: recompute forward
-            intermediates, backward through clamp -> ferro2 -> tanh ->
-            ferro1 -> bound, accumulating parameter gradients."""
+            """Cotangent of the field at input u.  Per-sample chains are
+            independent, so ONE fori_loop runs forward (layer1 -> tanh ->
+            layer2) and immediately backward (clamp -> ferro2 -> tanh ->
+            ferro1) with the ferro rows held live — half the
+            transcendental work of a separate-recompute backward.
+            Column/row duals of z and dh come from cheap extra matmuls
+            against the ones vectors (Mosaic has no fast transpose)."""
             hb = h_bound * jnp.tanh(u * inv_hb)
             xk1_buf[:] = _dot(hb, r1_ref[:], 1, 1)         # (B, L1)
 
-            def f1(b, _):
-                row = xk1_buf[pl.ds(b, 1), :]
-                xf = jnp.broadcast_to(row, (out1, L1))
-                _, _, _, _, fb = _ferro_rows(xf, prm1, gate_slope, alpha)
-                z_buf[pl.ds(b, 1), :] = jnp.tanh(
-                    _dot(ones1, fb * prm1[4], 1, 1))
+            def per_sample(b, _):
+                # ---- forward, keeping the transcendental blocks
+                row1 = xk1_buf[pl.ds(b, 1), :]
+                xf1 = jnp.broadcast_to(row1, (out1, L1))
+                rows1 = _ferro_rows(xf1, prm1, gate_slope, alpha)
+                fbc1 = rows1[4] * prm1[4]                  # fb * coef
+                z_row = jnp.tanh(_dot(ones1, fbc1, 1, 1))  # (1, hidden)
+                z_col = jnp.tanh(_dot(fbc1, ones1, 1, 1))  # (hidden, 1)
+                row2 = _dot(z_row, r2_ref[:], 1, 1)        # (1, L2)
+                xf2 = jnp.broadcast_to(row2, (out2, L2))
+                rows2 = _ferro_rows(xf2, prm2, gate_slope, alpha)
+                dh_col = _dot(rows2[4] * prm2[4], ones2, 1, 1)  # (D, 1)
+
+                # ---- backward (clamp passes gradient strictly inside)
+                e_b = (iota_b == b).astype(jnp.float32)    # (B, 1)
+                mask = ((dh_col > -dh_clip)
+                        & (dh_col < dh_clip)).astype(jnp.float32)
+                wcol2 = _dot(w, e_b, 0, 0) * mask          # (D, 1)
+                lanes2 = bwd_layer(xf2, rows2, prm2, grads2, wcol2, out2)
+                zbar_col = _dot(r2_ref[:], lanes2, 0, 1)   # (hidden, 1)
+                wcol1 = zbar_col * (1.0 - z_col * z_col)   # tanh link
+                lanes1 = bwd_layer(xf1, rows1, prm1, grads1, wcol1, out1)
+                ub_buf[pl.ds(b, 1), :] = _dot(lanes1, r1_ref[:], 1, 0)
                 return 0
 
-            jax.lax.fori_loop(0, B, f1, 0)
-            z = z_buf[:]
-            xk2_buf[:] = _dot(z, r2_ref[:], 1, 1)          # (B, L2)
-
-            def f2(b, _):
-                row = xk2_buf[pl.ds(b, 1), :]
-                xf = jnp.broadcast_to(row, (out2, L2))
-                _, _, _, _, fb = _ferro_rows(xf, prm2, gate_slope, alpha)
-                dh_buf[pl.ds(b, 1), :] = _dot(ones2, fb * prm2[4], 1, 1)
-                return 0
-
-            jax.lax.fori_loop(0, B, f2, 0)
-            dh_raw = dh_buf[:]
-
-            # clamp mask (jnp.clip passes gradient strictly inside)
-            w2 = w * ((dh_raw > -dh_clip) & (dh_raw < dh_clip)).astype(
-                jnp.float32)                                # (B, D)
-
-            def bwd_layer(b, xk_buf, prm, grads, wmat, outs, L):
-                """One sample's VJP through one ferro layer; returns the
-                (1, L) lane cotangent of the layer's replicated input.
-                ``wmat`` is the (B, out) output cotangent; the sample's
-                column is fetched by a one-hot matmul (no transpose, no
-                minormost dynamic slice — both are Mosaic slow/no paths).
-                """
-                g_fk, g_fec, g_fps, g_fbias, g_fcoef = grads
-                fk, fec, fps, fbias, fcoef = prm
-                row = xk_buf[pl.ds(b, 1), :]
-                xf = jnp.broadcast_to(row, (outs, L))
-                mu, cn, beta, th, fb = _ferro_rows(xf, prm, gate_slope,
-                                                   alpha)
-                e_b = (iota_b == b).astype(jnp.float32)      # (B, 1)
-                wcol = _dot(wmat, e_b, 0, 0)                 # (out, 1)
-                g_fcoef[:] += fb * wcol
-                fbar = fcoef * wcol                          # (out, L)
-                sech2 = 1.0 - th * th
-                g_fps[:] += th * fbar
-                g_fbias[:] += fbar
-                g_fk[:] += fps * (xf + fec * beta) * sech2 * fbar
-                gs1a = gate_slope * (1.0 - alpha)
-                dbeta_dec = 2.0 * gs1a * (1.0 - mu) * cn * (1.0 - cn)
-                dbeta_dx = 2.0 * gs1a * (1.0 - mu) * cn * (mu + 1.0 - cn)
-                common = fps * fk * sech2 * fbar
-                g_fec[:] += common * (beta + fec * dbeta_dec)
-                xfbar = common * (1.0 + fec * dbeta_dx)      # (out, L)
-                # row-sum over out -> (1, L) lane cotangent
-                return _dot(jnp.ones((1, outs), jnp.float32), xfbar, 1, 0)
-
-            def b2(b, _):
-                lanes = bwd_layer(b, xk2_buf, prm2, grads2, w2, out2, L2)
-                zb_buf[pl.ds(b, 1), :] = _dot(lanes, r2_ref[:], 1, 0)
-                return 0
-
-            jax.lax.fori_loop(0, B, b2, 0)
-            zbar = zb_buf[:] * (1.0 - z * z)                 # tanh link
-
-            def b1(b, _):
-                lanes = bwd_layer(b, xk1_buf, prm1, grads1, zbar, out1, L1)
-                ub_buf[pl.ds(b, 1), :] = _dot(lanes, r1_ref[:], 1, 0)
-                return 0
-
-            jax.lax.fori_loop(0, B, b1, 0)
+            jax.lax.fori_loop(0, B, per_sample, 0)
             # bound chain: d hb/du = 1 - (hb/h_bound)^2
             return ub_buf[:] * (1.0 - (hb * inv_hb) ** 2)
 
@@ -328,13 +312,9 @@ def make_ferro_node_solver(dims1, dims2, gate_slope=10.0, alpha=0.8,
             [jax.ShapeDtypeStruct((out1, in1 * K1), f32)] * _N_PRM
             + [jax.ShapeDtypeStruct((out2, in2 * K2), f32)] * _N_PRM
             + [jax.ShapeDtypeStruct((B, D), f32)])
-        scratch = [pltpu.VMEM((B, hidden), f32),         # z
-                   pltpu.VMEM((B, D), f32),              # dh
-                   pltpu.VMEM((B, hidden), f32),         # zbar
-                   pltpu.VMEM((B, D), f32),              # ubar
+        scratch = [pltpu.VMEM((B, D), f32),              # ubar
                    pltpu.VMEM((7 * B, D), f32),          # kbar
-                   pltpu.VMEM((B, in1 * K1), f32),       # xk1
-                   pltpu.VMEM((B, in2 * K2), f32)]       # xk2
+                   pltpu.VMEM((B, in1 * K1), f32)]       # xk1
         results = pl.pallas_call(
             kernel,
             out_shape=out_shapes,
