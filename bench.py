@@ -236,12 +236,13 @@ def bench_traj_training():
             time_mode(run.spec))
 
 
-def bench_ecg_ferro(state_dtype="", solver_mode="scan"):
+def bench_ecg_ferro(state_dtype="", solver_mode="scan", pallas_layout="loop"):
     """ECG ferro MLP-NODE training epochs/sec (full ECG200-sized epoch:
     100 samples, batch 8, dopri5 latent solve + grad + AdamW).
 
     ``solver_mode="pallas"``: whole-solve in-kernel discrete adjoint
-    (ops/pallas_ferro_node.py)."""
+    (ops/pallas_ferro_node.py); ``pallas_layout="vec"`` selects the
+    batch-vectorized kernel layout."""
     import jax
     import jax.numpy as jnp
 
@@ -250,7 +251,8 @@ def bench_ecg_ferro(state_dtype="", solver_mode="scan"):
     from fetode_tpu.train.optim import make_optimizer
 
     spec = M.KanFetMLPNODESpec(T=96, state_dtype=state_dtype,
-                               solver_mode=solver_mode)
+                               solver_mode=solver_mode,
+                               pallas_layout=pallas_layout)
     key = jax.random.PRNGKey(0)
     params = M.kanfet_mlp_node_init(key, spec)
     x = jax.random.normal(key, (96, 96), jnp.float32)   # 12 batches of 8

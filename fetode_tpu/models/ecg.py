@@ -190,6 +190,8 @@ class KanFetMLPNODESpec(NamedTuple):
     solver_mode: str = "scan"
     state_dtype: str = ""       # "" = input dtype; "bfloat16" halves the
                                 # hysteresis-state HBM traffic
+    pallas_layout: str = "loop"  # "loop" (per-sample fori) or "vec"
+                                 # (3-D batch blocks) kernel layout
 
     @property
     def fc1_cfg(self):
@@ -257,16 +259,18 @@ def kanfet_mlp_node_apply(params, spec: KanFetMLPNODESpec, x, *,
     """x (B, T) -> logits. One batched solve (no per-sample loop).
 
     ``solver_mode="pallas"`` routes the latent solve through the
-    whole-solve in-kernel discrete adjoint (ops/pallas_ferro_node.py;
-    clean dopri5 configs only — device noise falls back to XLA).
+    whole-solve in-kernel discrete adjoint (ops/pallas_ferro_node.py);
+    device noise rides into the kernel as frozen per-solve draws with
+    the XLA dopri5 path's exact keys and values.
     """
     B = x.shape[0]
     h0 = x @ params["encoder_w"].T + params["encoder_b"]
     if (spec.solver_mode == "pallas" and spec.solver == "dopri5"
-            and spec.noise_std == 0.0):
+            and (spec.noise_std == 0.0 or noise_key is not None)):
         from fetode_tpu.ops.pallas_ferro_node import pallas_ferro_node_solve
 
-        hT = pallas_ferro_node_solve(params["fc1"], params["fc2"], h0, spec)
+        hT = pallas_ferro_node_solve(params["fc1"], params["fc2"], h0, spec,
+                                     noise_key=noise_key)
         return hT @ params["cls_w"].T + params["cls_b"]
     sdt = jnp.dtype(spec.state_dtype) if spec.state_dtype else x.dtype
     states = (ferro_state_init((B,), spec.fc1_cfg, sdt),

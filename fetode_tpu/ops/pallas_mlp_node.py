@@ -61,6 +61,13 @@ _ORDER = 3          # spline_order of KanFetNODESpec.kan_cfg (KANConfig.make def
 _C = 5 + _ORDER     # n_coeff = grid_size + order = 8 basis columns
 _NK = 5 + 2 * _ORDER + 1   # 12 knots per feature
 
+# Mosaic's default scoped-vmem limit (16 MB) is below the v5e core's
+# physical VMEM; the default-spec kernels stack ~16.6 MB of refs +
+# temporaries (measured on-chip: "16.56M and limit 16.00M ... by
+# 576.5K").  Raise the per-kernel limit; the hardware bound still
+# applies, so K/H far past the preset will eventually OOM for real.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _silu(x):
     return x * jax.nn.sigmoid(x)
@@ -276,6 +283,7 @@ def make_mlp_node_solver(D, K, H, rtol=1e-2, atol=1e-3, max_steps=16,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
             scratch_shapes=[pltpu.VMEM((7 * B, D), f32)],
+            compiler_params=_VMEM_LIMIT,
             interpret=interpret,
         )(*inputs)
         return hT, (tda, yrec, krec, misc)
@@ -303,6 +311,7 @@ def make_mlp_node_solver(D, K, H, rtol=1e-2, atol=1e-3, max_steps=16,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shapes),
             scratch_shapes=[pltpu.VMEM((7 * B, D), f32)],
+            compiler_params=_VMEM_LIMIT,
             interpret=interpret,
         )(*inputs)
         (gls, glb, gav, gbv, gbw1, gsw1, gbw2, gsw2, gow, gob, geff,

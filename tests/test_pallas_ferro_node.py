@@ -27,12 +27,14 @@ def setup():
     return spec, params, h0
 
 
-def _xla_solve(params, spec, h0, mode="while"):
+def _xla_solve(params, spec, h0, mode="while", noise_key=None):
     states = (ferro_state_init((h0.shape[0],), spec.fc1_cfg),
               ferro_state_init((h0.shape[0],), spec.fc2_cfg))
+    nkeys = jax.random.split(noise_key) if noise_key is not None else None
 
     def rhs(t, h):
-        return kanfet_mlp_node_field(params, spec, t, h, states)
+        return kanfet_mlp_node_field(params, spec, t, h, states, nkeys,
+                                     per_eval_noise=False)
 
     ts = jnp.asarray([0.0, 1.0], h0.dtype)
     return odeint_dopri5(rhs, h0, ts, rtol=spec.rtol, atol=spec.atol,
@@ -103,13 +105,110 @@ def test_model_apply_pallas_mode(setup):
                                    rtol=1e-4, atol=1e-5)
 
 
-def test_noise_falls_back_to_xla(setup):
+def test_noisy_forward_matches_xla_frozen_noise(setup):
+    """Device noise in-kernel: the frozen per-solve draws are
+    bit-identical to the XLA dopri5 path's (same keys, same shapes), so
+    the noisy trajectories must agree to fp tolerance."""
     spec, params, h0 = setup
-    ns = spec._replace(solver_mode="pallas", noise_std=0.1)
+    ns = spec._replace(noise_std=0.15)
+    key = jax.random.PRNGKey(4)
+    ref = _xla_solve(params, ns, h0, noise_key=key)
+    out = pallas_ferro_node_solve(params["fc1"], params["fc2"], h0, ns,
+                                  noise_key=key)
+    assert not np.allclose(np.asarray(ref),
+                           np.asarray(_xla_solve(params, spec, h0)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_noisy_grads_match_scan_autodiff(setup):
+    """The reference's noise.detach(): only the coef gradient sees the
+    noise.  Kernel grads under noise must match scan autodiff through
+    the SAME frozen draws."""
+    spec, params, h0 = setup
+    ns = spec._replace(noise_std=0.15)
+    key = jax.random.PRNGKey(7)
+
+    def loss_kernel(fp):
+        hT = pallas_ferro_node_solve(fp["fc1"], fp["fc2"], h0, ns,
+                                     noise_key=key)
+        return jnp.sum(hT ** 2)
+
+    def loss_scan(fp):
+        p = dict(params, fc1=fp["fc1"], fc2=fp["fc2"])
+        return jnp.sum(_xla_solve(p, ns, h0, mode="scan",
+                                  noise_key=key) ** 2)
+
+    sub = {"fc1": params["fc1"], "fc2": params["fc2"]}
+    gk = jax.grad(loss_kernel)(sub)
+    gs = jax.grad(loss_scan)(sub)
+    fa = np.concatenate([np.ravel(gk[l][n]) for l in ("fc1", "fc2")
+                         for n in ("k", "ec", "ps", "bias", "coef")])
+    fb = np.concatenate([np.ravel(gs[l][n]) for l in ("fc1", "fc2")
+                         for n in ("k", "ec", "ps", "bias", "coef")])
+    rel = np.linalg.norm(fa - fb) / (np.linalg.norm(fb) + 1e-30)
+    assert rel < 1e-4, rel
+
+
+def test_noisy_model_apply_pallas_mode(setup):
+    """solver_mode='pallas' + noise_std on the full model routes through
+    the kernel and matches the XLA path's logits for the same key."""
+    spec, params, h0 = setup
+    key = jax.random.PRNGKey(4)
     x = jax.random.normal(jax.random.PRNGKey(3), (4, spec.T))
-    out = kanfet_mlp_node_apply(params, ns, x,
-                                noise_key=jax.random.PRNGKey(4))
-    assert bool(jnp.all(jnp.isfinite(out)))
+    np_ = spec._replace(solver_mode="pallas", noise_std=0.1)
+    nx = spec._replace(noise_std=0.1)
+    out_p = kanfet_mlp_node_apply(params, np_, x, noise_key=key)
+    out_x = kanfet_mlp_node_apply(params, nx, x, noise_key=key)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_batch_vec_layout_matches_loop_layout(setup):
+    """The batch-vectorized (3-D block) kernels must agree with the
+    per-sample-loop kernels on forward, parameter grads, and the frozen
+    noisy forward."""
+    import jax.flatten_util
+    from fetode_tpu.ops.pallas_ferro_node import (
+        frozen_solve_noise,
+        make_ferro_node_solver,
+    )
+
+    spec, params, h0 = setup
+    c1, c2 = spec.fc1_cfg, spec.fc2_cfg
+    dims = ((c1.in_dim, c1.out_dim, c1.num_basis),
+            (c2.in_dim, c2.out_dim, c2.num_basis))
+
+    def mk(**kw):
+        return make_ferro_node_solver(
+            *dims, gate_slope=c1.gate_slope, alpha=c1.alpha,
+            h_bound=spec.h_bound, dh_clip=spec.dh_clip, rtol=spec.rtol,
+            atol=spec.atol, max_steps=spec.max_steps, interpret=True, **kw)
+
+    loop_fn, vec_fn = mk(), mk(batch_vec=True)
+    sub = {"fc1": params["fc1"], "fc2": params["fc2"]}
+
+    def loss(fn):
+        return lambda fp: jnp.sum(fn(fp["fc1"], fp["fc2"], h0) ** 2)
+
+    (l1, g1), (l2, g2) = (jax.value_and_grad(loss(f))(sub)
+                          for f in (loop_fn, vec_fn))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    f2, _ = jax.flatten_util.ravel_pytree(g2)
+    # contraction order differs (MXU matmul vs lane reduction): f32-level
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
+                               rtol=1e-4, atol=1e-6)
+
+    # noisy: same frozen draws through both layouts
+    nsp = spec._replace(noise_std=0.15)
+    nz = frozen_solve_noise(jax.random.PRNGKey(9), h0.shape[0],
+                            nsp.fc1_cfg, nsp.fc2_cfg, dtype=h0.dtype)
+    ln, vn = mk(noisy=True), mk(noisy=True, batch_vec=True)
+    np.testing.assert_allclose(
+        np.asarray(vn(params["fc1"], params["fc2"], h0, *nz)),
+        np.asarray(ln(params["fc1"], params["fc2"], h0, *nz)),
+        rtol=1e-5, atol=1e-6)
 
 
 def test_sharded_matches_per_shard_solves(setup):
