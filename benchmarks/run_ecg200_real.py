@@ -5,7 +5,11 @@ including the ferro MLP-NODE through the whole-solve in-kernel adjoint
 — accuracy parity + wall evidence on real data.
 
 Usage: python benchmarks/run_ecg200_real.py [model ...]
-Models: kanfet_node kanfet_mlp_node kanfet_mlp_node_pallas digital_rnn
+Models: kanfet_node kanfet_mlp_node kanfet_mlp_node_pallas
+        kanfet_mlp_node_noisy kanfet_mlp_node_noisy_pallas digital_rnn
+(the _noisy pair trains with device noise std 0.2, frozen per solve,
+evaluated with 4-draw averaging; _noisy_pallas exercises the in-kernel
+noise path)
 """
 import json
 import os
@@ -36,6 +40,16 @@ def builders(name, T, num_classes):
                                    solver_mode=mode)
         return (lambda k: M.kanfet_mlp_node_init(k, spec),
                 lambda p, x, key: M.kanfet_mlp_node_apply(p, spec, x))
+    if name in ("kanfet_mlp_node_noisy", "kanfet_mlp_node_noisy_pallas"):
+        # device noise at the reference's default std (ferro_class.py:238),
+        # frozen per solve (dopri5 semantics), fresh key per training step;
+        # the pallas variant exercises the in-kernel noise path
+        mode = "pallas" if name.endswith("pallas") else "scan"
+        spec = M.KanFetMLPNODESpec(T=T, num_classes=num_classes,
+                                   solver_mode=mode, noise_std=0.2)
+        return (lambda k: M.kanfet_mlp_node_init(k, spec),
+                lambda p, x, key: M.kanfet_mlp_node_apply(p, spec, x,
+                                                          noise_key=key))
     if name == "digital_rnn":
         cfg = DigitalRNNConfig(input_size=1, hidden_size=64,
                                num_classes=num_classes)
@@ -62,8 +76,9 @@ def main():
     epc = int(os.environ.get("ECG_EPOCHS_PER_CALL", "1"))
     for name in names:
         init_fn, apply_fn = builders(name, T, n_cls)
-        _, hist = train_ecg_model(init_fn, apply_fn, data,
-                                  ECGRun(epochs_per_call=epc), log=None)
+        run = ECGRun(epochs_per_call=epc,
+                     eval_noise_draws=4 if "noisy" in name else 1)
+        _, hist = train_ecg_model(init_fn, apply_fn, data, run, log=None)
         key = name if epc == 1 else f"{name}_blk{epc}"
         results[key] = {"best_test_acc": hist["best_test_acc"],
                         "wall": round(hist["wall_seconds"], 2)}

@@ -18,6 +18,8 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 from fetode_tpu.data.ecg200 import load_ecg200, synthetic_ecg200
 from fetode_tpu.models import ecg as M
 from fetode_tpu.train.ecg_driver import ECGRun, compare_noise

@@ -96,7 +96,12 @@ def train_ecg_model(
 
     @jax.jit
     def eval_acc(p, x, y):
-        logits = jnp.mean(jax.vmap(lambda k: apply_fn(p, x, k))(eval_keys), 0)
+        # Draws are averaged SEQUENTIALLY (unrolled), not vmapped: vmapping
+        # the whole-solve pallas path over keys stacks the frozen
+        # (B, out, in*K) noise operands draws-fold in VMEM (measured OOM at
+        # 4 draws x B=100 on the ECG ferro kernel).
+        logits = jnp.mean(
+            jnp.stack([apply_fn(p, x, k) for k in eval_keys]), 0)
         return accuracy(logits, y)
 
     x_test_j = jnp.asarray(x_test)
