@@ -132,6 +132,12 @@ def bench_predprey():
         scanner = make_epoch_scanner(loss_fn, tx, epochs_per_call)
         state, losses = scanner(state, x0, ts_learn, target)   # compile
         _sync(losses[-1])
+        # Second warm call: the FIRST post-compile invocation of a pallas
+        # program carries a ~1 s one-time load cost (measured:
+        # benchmarks/swing_probe_tpu.jsonl — window 0 reads 9 ep/s, every
+        # later window 44-48, in-process and cross-process alike).
+        state, losses = scanner(state, x0, ts_learn, target)
+        _sync(losses[-1])
         t0 = time.perf_counter()
         for _ in range(n_calls):
             state, losses = scanner(state, x0, ts_learn, target)
@@ -223,7 +229,9 @@ def bench_traj_training():
                 )(x0s_, targets_))
 
         scanner = make_epoch_scanner(loss_fn, tx, run.epochs_per_call)
-        state, losses = scanner(state, x0s, targets)       # compile + warm
+        state, losses = scanner(state, x0s, targets)       # compile
+        _sync(losses[-1])
+        state, losses = scanner(state, x0s, targets)       # first-load warm
         _sync(losses[-1])
         n_calls = run.epochs // run.epochs_per_call
         t0 = time.perf_counter()
@@ -278,6 +286,12 @@ def bench_ecg_ferro(state_dtype="", solver_mode="scan", pallas_layout="loop"):
 
     state, losses = epoch_fn(state, key, eb)   # compile
     _sync(losses[-1, -1])
+    # First post-compile invocation pays a one-time program-load cost
+    # (~0.9 s measured on the pallas path — the source of the recorded
+    # 20-vs-52 ep/s cross-run swing; benchmarks/swing_probe_tpu.jsonl).
+    # Warm it out, then time steady state.
+    state, losses = epoch_fn(state, jax.random.fold_in(key, 99), eb)
+    _sync(losses[-1, -1])
     n_calls = 3
     t0 = time.perf_counter()
     for i in range(n_calls):
@@ -320,6 +334,8 @@ def bench_ecg_logistic(solver_mode="scan", field="plain"):
     eb = tuple(jnp.repeat(a[None], E, 0) for a in batches)
     state, losses = epoch_fn(state, key, eb)
     _sync(losses[-1, -1])
+    state, losses = epoch_fn(state, jax.random.fold_in(key, 99), eb)
+    _sync(losses[-1, -1])   # first-load warm (see bench_ecg_ferro)
     n_calls = 3
     t0 = time.perf_counter()
     for i in range(n_calls):
@@ -396,14 +412,15 @@ def main() -> None:
         with open(base_path) as fh:
             baseline_sec_per_epoch = json.load(fh)["sec_per_epoch"]
 
-    traj_train = _stage("traj training", bench_traj_training) or (None, None)
+    # Stage order: the many cheap model-zoo rows (~25 s each) run before
+    # the one expensive traj-training stage (~175 s of compiles), so a
+    # deadline truncation nulls ONE row instead of four (the r02 full
+    # pass lost ferro-bf16/logistic/diffusion that way).
     extra = {
         "final_train_loss": final_loss,
         "scan_mode_epochs_per_sec": round(scan_eps, 2),
         "trajectories_per_sec_per_chip": round(traj_per_sec, 1),
         "pallas_whole_solve_traj_per_sec": round(pallas_traj_per_sec, 1),
-        "traj_training_traj_epochs_per_sec": _round(traj_train[0], 1),
-        "traj_training_scan_traj_epochs_per_sec": _round(traj_train[1], 1),
         "ecg_ferro_pallas_epochs_per_sec": _round(
             _stage("ecg ferro pallas",
                    bench_ecg_ferro, solver_mode="pallas"), 2),
@@ -425,6 +442,9 @@ def main() -> None:
         extra["diffusion_samples_per_sec"] = round(diff[0], 1)
         extra["diffusion_scan_samples_per_sec"] = round(diff[1], 1)
         extra["diffusion_folded10_samples_per_sec"] = round(diff[2], 1)
+    traj_train = _stage("traj training", bench_traj_training) or (None, None)
+    extra["traj_training_traj_epochs_per_sec"] = _round(traj_train[0], 1)
+    extra["traj_training_scan_traj_epochs_per_sec"] = _round(traj_train[1], 1)
     # Convergence/parity evidence from the recorded full 10k-epoch run
     # (benchmarks/predprey_10k_run.json, produced on this chip).
     run_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
