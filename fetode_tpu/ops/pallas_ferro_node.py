@@ -56,6 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fetode_tpu.ops.pallas_node_common import (
+    VMEM_LIMIT_BYTES,
     _dot,
     adaptive_solve_final,
     adjoint_replay,
@@ -436,7 +437,7 @@ def make_ferro_node_solver(dims1, dims2, gate_slope=10.0, alpha=0.8,
     # operand set, and the batch-vectorized layout stacks 3-D ferro
     # temporaries — lift Mosaic's default 16 MB scoped-vmem limit (the
     # physical bound still applies; see ops/pallas_mlp_node.py)
-    cparams = (pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    cparams = (pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
                if (noisy or batch_vec) else None)
 
     def _prep(fc1, fc2):
@@ -536,11 +537,15 @@ def make_ferro_node_solver(dims1, dims2, gate_slope=10.0, alpha=0.8,
 
 
 def pallas_ferro_node_solve_sharded(fc1, fc2, h0, spec, mesh, *,
-                                    axis="data", interpret=None):
+                                    axis="data", interpret=None,
+                                    noise_key=None):
     """Data-parallel whole-solve over a device mesh: each device runs the
     in-kernel adjoint on its batch shard (``shard_map`` over ``axis``);
     parameters are replicated and the shard_map transpose psums their
-    gradients.  ``h0`` batch must divide the axis size."""
+    gradients.  ``h0`` batch must divide the axis size.  Device noise
+    (``spec.noise_std > 0``) requires ``noise_key``; the frozen per-solve
+    blocks are drawn for the GLOBAL batch (same keys and values as the
+    single-device path) and sharded alongside ``h0``."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     from jax.sharding import PartitionSpec as P
@@ -548,18 +553,23 @@ def pallas_ferro_node_solve_sharded(fc1, fc2, h0, spec, mesh, *,
     if h0.shape[0] % mesh.shape[axis]:
         raise ValueError(f"batch {h0.shape[0]} not divisible by "
                          f"{axis}={mesh.shape[axis]}")
+    noisy = spec.noise_std > 0.0
+    if noisy and noise_key is None:
+        raise ValueError("noise_std > 0 requires a noise_key")
     c1, c2 = spec.fc1_cfg, spec.fc2_cfg
     fn = make_ferro_node_solver(
         (c1.in_dim, c1.out_dim, c1.num_basis),
         (c2.in_dim, c2.out_dim, c2.num_basis),
         gate_slope=c1.gate_slope, alpha=c1.alpha, h_bound=spec.h_bound,
         dh_clip=spec.dh_clip, rtol=spec.rtol, atol=spec.atol,
-        max_steps=spec.max_steps, interpret=interpret,
+        max_steps=spec.max_steps, interpret=interpret, noisy=noisy,
         batch_vec=getattr(spec, "pallas_layout", "loop") == "vec")
-    solve = jax.shard_map(lambda a, b, h: fn(a, b, h), mesh=mesh,
-                          in_specs=(P(), P(), P(axis)), out_specs=P(axis),
-                          check_vma=False)
-    return solve(fc1, fc2, h0)
+    nz = (_spec_solve_noise(fc1, fc2, h0, c1, c2, noise_key)
+          if noisy else ())
+    solve = jax.shard_map(lambda a, b, h, *n: fn(a, b, h, *n), mesh=mesh,
+                          in_specs=(P(), P(), P(axis)) + (P(axis),) * len(nz),
+                          out_specs=P(axis), check_vma=False)
+    return solve(fc1, fc2, h0, *nz)
 
 
 def frozen_solve_noise(noise_key, B, cfg1, cfg2, dtype=jnp.float32):
@@ -569,14 +579,16 @@ def frozen_solve_noise(noise_key, B, cfg1, cfg2, dtype=jnp.float32):
     ``kanfet_mlp_node_apply``) and ``ops/ferro.py: ferro_basis`` draws
     ``normal(key, (B, in, out, K))``.  Transposed to (B, out, in*K).
 
-    ``dtype`` must be the XLA path's basis dtype: ``jax.random.normal``
-    consumes different bit budgets per dtype, so an f32 draw is NOT the
-    rounded f64 draw (bit-different values under x64 test configs)."""
+    ``dtype`` must be the XLA path's basis dtype (a single dtype or one
+    per layer): ``jax.random.normal`` consumes different bit budgets per
+    dtype, so an f32 draw is NOT the rounded f64 draw (bit-different
+    values under x64 test configs)."""
     ks = jax.random.split(noise_key)
+    dtypes = dtype if isinstance(dtype, (tuple, list)) else (dtype, dtype)
     out = []
-    for k, cfg in zip(ks, (cfg1, cfg2)):
+    for k, cfg, dt in zip(ks, (cfg1, cfg2), dtypes):
         n = jax.random.normal(
-            k, (B, cfg.in_dim, cfg.out_dim, cfg.num_basis), dtype)
+            k, (B, cfg.in_dim, cfg.out_dim, cfg.num_basis), dt)
         out.append((cfg.noise_std * jnp.transpose(n, (0, 2, 1, 3)).reshape(
             B, cfg.out_dim, cfg.in_dim * cfg.num_basis)).astype(jnp.float32))
     return tuple(out)
@@ -605,6 +617,16 @@ def pallas_ferro_node_solve(fc1, fc2, h0, spec, *, noise_key=None,
         batch_vec=getattr(spec, "pallas_layout", "loop") == "vec")
     if not noisy:
         return fn(fc1, fc2, h0)
-    nz1, nz2 = frozen_solve_noise(noise_key, h0.shape[0], c1, c2,
-                                  dtype=h0.dtype)
+    nz1, nz2 = _spec_solve_noise(fc1, fc2, h0, c1, c2, noise_key)
     return fn(fc1, fc2, h0, nz1, nz2)
+
+
+def _spec_solve_noise(fc1, fc2, h0, c1, c2, noise_key):
+    """Frozen per-solve draws in the XLA path's per-layer basis dtypes:
+    layer 1's basis promotes (h0, fc1 params); layer 2's input carries
+    that dtype and promotes with fc2's params (models/ecg.py:
+    ``kanfet_mlp_node_field``)."""
+    dt1 = jnp.result_type(h0, *jax.tree_util.tree_leaves(fc1))
+    dt2 = jnp.result_type(dt1, *jax.tree_util.tree_leaves(fc2))
+    return frozen_solve_noise(noise_key, h0.shape[0], c1, c2,
+                              dtype=(dt1, dt2))

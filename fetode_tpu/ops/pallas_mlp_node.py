@@ -51,6 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fetode_tpu.ops.pallas_node_common import (
+    VMEM_LIMIT_BYTES,
     _dot,
     adaptive_solve_final,
     adjoint_replay,
@@ -61,12 +62,10 @@ _ORDER = 3          # spline_order of KanFetNODESpec.kan_cfg (KANConfig.make def
 _C = 5 + _ORDER     # n_coeff = grid_size + order = 8 basis columns
 _NK = 5 + 2 * _ORDER + 1   # 12 knots per feature
 
-# Mosaic's default scoped-vmem limit (16 MB) is below the v5e core's
-# physical VMEM; the default-spec kernels stack ~16.6 MB of refs +
-# temporaries (measured on-chip: "16.56M and limit 16.00M ... by
-# 576.5K").  Raise the per-kernel limit; the hardware bound still
-# applies, so K/H far past the preset will eventually OOM for real.
-_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+# The default-spec kernels stack ~16.6 MB of refs + temporaries (measured
+# on-chip: "16.56M and limit 16.00M ... by 576.5K") — past Mosaic's 16 MB
+# default.  K/H far past the preset will still OOM for real.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
 
 
 def _silu(x):

@@ -27,6 +27,13 @@ from jax.experimental import pallas as pl
 
 from fetode_tpu.solvers.tableaux import DOPRI5
 
+# Mosaic's default scoped-vmem limit (16 MB) is below the v5e core's
+# physical VMEM; kernels that stack large temporaries need more (measured
+# on-chip OOMs: the mlp-field default spec at 16.56 MB, the noisy /
+# batch-vectorized ferro-node layouts).  One shared limit so a re-tune
+# lands everywhere; the physical bound still applies past it.
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
 _ORDER = 5
 _BETA = 0.04
 _ALPHA = 1.0 / _ORDER - 0.75 * _BETA

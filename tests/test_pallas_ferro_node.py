@@ -245,3 +245,46 @@ def test_sharded_matches_per_shard_solves(setup):
     f2, _ = jax.flatten_util.ravel_pytree(g2)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_noisy_matches_per_shard_solves(setup):
+    """Device noise on the sharded path: drawn once for the GLOBAL batch
+    (same keys/values as the single-device entry) and sharded with h0 —
+    each shard must see exactly its slice of the global draw."""
+    from fetode_tpu.ops.pallas_ferro_node import (
+        _spec_solve_noise,
+        make_ferro_node_solver,
+        pallas_ferro_node_solve_sharded,
+    )
+    from fetode_tpu.parallel import make_mesh
+
+    spec, params, _ = setup
+    ns = spec._replace(noise_std=0.15)
+    mesh = make_mesh(8)
+    key = jax.random.PRNGKey(6)
+    h0 = jax.random.normal(jax.random.PRNGKey(5), (8, spec.latent_dim))
+    fc1, fc2 = params["fc1"], params["fc2"]
+    c1, c2 = ns.fc1_cfg, ns.fc2_cfg
+
+    out = pallas_ferro_node_solve_sharded(fc1, fc2, h0, ns, mesh,
+                                          noise_key=key)
+
+    fn = make_ferro_node_solver(
+        (c1.in_dim, c1.out_dim, c1.num_basis),
+        (c2.in_dim, c2.out_dim, c2.num_basis),
+        gate_slope=c1.gate_slope, alpha=c1.alpha, h_bound=ns.h_bound,
+        dh_clip=ns.dh_clip, rtol=ns.rtol, atol=ns.atol,
+        max_steps=ns.max_steps, interpret=True, noisy=True)
+    nz1, nz2 = _spec_solve_noise(fc1, fc2, h0, c1, c2, key)
+    ref = jnp.concatenate([
+        fn(fc1, fc2, h0[i:i + 1], nz1[i:i + 1], nz2[i:i + 1])
+        for i in range(8)])
+    # the noise must actually change the solution...
+    clean = pallas_ferro_node_solve_sharded(fc1, fc2, h0, spec, mesh)
+    assert not np.allclose(np.asarray(out), np.asarray(clean))
+    # ...and match the per-shard slices of the global draw
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError, match="noise_key"):
+        pallas_ferro_node_solve_sharded(fc1, fc2, h0, ns, mesh)
