@@ -21,6 +21,7 @@ one jitted batched forward.
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from dataclasses import dataclass
 from typing import Callable
@@ -92,7 +93,8 @@ def train_ecg_model(
 
     # Fixed eval keys (drawn once): evaluation is a consistent estimate of
     # the same "device instance" across epochs; vary run.seed for repeats.
-    eval_keys = jax.random.split(eval_base, run.eval_noise_draws)
+    # At least one draw — noiseless models ignore the key entirely.
+    eval_keys = jax.random.split(eval_base, max(1, run.eval_noise_draws))
 
     @jax.jit
     def eval_acc(p, x, y):
@@ -113,6 +115,9 @@ def train_ecg_model(
     best = (-1.0, state.params)
     t0 = time.perf_counter()
     E = max(1, run.epochs_per_call)
+    # NOTE: if epochs % E != 0 the ragged tail block has a different
+    # leading dim and costs one extra trace/compile of the epoch scan —
+    # pick epochs_per_call | epochs for benchmark runs.
     block_fn = (make_minibatch_epochs_scanner(loss_fn, tx, keyed=True)
                 if E > 1 else None)
     for ep in range(0, run.epochs, E):
@@ -138,9 +143,13 @@ def train_ecg_model(
         history["test_acc"].append(te_acc)
         if te_acc > best[0]:
             best = (te_acc, state.params)
-        if log is not None and (ep % run.log_every == 0
-                                or ep + n >= run.epochs):
-            log(f"epoch {ep:3d} | loss {history['loss'][-1]:.4f} | "
+        # Log whenever the block [ep, ep+n) crossed a log_every boundary
+        # (reduces to ep % log_every == 0 at n == 1), labelled with the
+        # last epoch the metrics were evaluated after.
+        if log is not None and (
+                (ep + n - 1) // run.log_every > (ep - 1) // run.log_every
+                or ep + n >= run.epochs):
+            log(f"epoch {ep + n - 1:3d} | loss {history['loss'][-1]:.4f} | "
                 f"train_acc {tr_acc*100:.1f}% | test_acc {te_acc*100:.1f}%")
     history["wall_seconds"] = time.perf_counter() - t0
     history["best_test_acc"] = best[0]
@@ -169,7 +178,7 @@ def compare_noise(
             if log is not None:
                 log(f"--- noise_std = {std}, seed = {seed} ---")
             init_fn, apply_fn = make_model(std)
-            run_s = ECGRun(**{**run.__dict__, "seed": seed})
+            run_s = dataclasses.replace(run, seed=seed)
             _, hist = train_ecg_model(init_fn, apply_fn, data, run_s, log)
             per_seed[seed] = hist
         results[std] = per_seed
