@@ -255,22 +255,37 @@ def kanfet_mlp_node_field(params, spec: KanFetMLPNODESpec, t, h, states,
 
 
 def kanfet_mlp_node_apply(params, spec: KanFetMLPNODESpec, x, *,
-                          noise_key=None):
+                          noise_key=None, mesh=None):
     """x (B, T) -> logits. One batched solve (no per-sample loop).
 
     ``solver_mode="pallas"`` routes the latent solve through the
     whole-solve in-kernel discrete adjoint (ops/pallas_ferro_node.py);
     device noise rides into the kernel as frozen per-solve draws with
-    the XLA dopri5 path's exact keys and values.
+    the XLA dopri5 path's exact keys and values.  With ``mesh`` the
+    kernel runs data-parallel: one per-device kernel on each batch shard
+    (``pallas_ferro_node_solve_sharded``; GSPMD cannot partition the
+    custom call itself).  The scan path needs no mesh argument — its
+    sharding comes entirely from the input placement.
     """
     B = x.shape[0]
     h0 = x @ params["encoder_w"].T + params["encoder_b"]
     if (spec.solver_mode == "pallas" and spec.solver == "dopri5"
             and (spec.noise_std == 0.0 or noise_key is not None)):
-        from fetode_tpu.ops.pallas_ferro_node import pallas_ferro_node_solve
+        if mesh is not None:
+            from fetode_tpu.ops.pallas_ferro_node import (
+                pallas_ferro_node_solve_sharded,
+            )
 
-        hT = pallas_ferro_node_solve(params["fc1"], params["fc2"], h0, spec,
-                                     noise_key=noise_key)
+            hT = pallas_ferro_node_solve_sharded(
+                params["fc1"], params["fc2"], h0, spec, mesh,
+                noise_key=noise_key)
+        else:
+            from fetode_tpu.ops.pallas_ferro_node import (
+                pallas_ferro_node_solve,
+            )
+
+            hT = pallas_ferro_node_solve(params["fc1"], params["fc2"], h0,
+                                         spec, noise_key=noise_key)
         return hT @ params["cls_w"].T + params["cls_b"]
     sdt = jnp.dtype(spec.state_dtype) if spec.state_dtype else x.dtype
     states = (ferro_state_init((B,), spec.fc1_cfg, sdt),

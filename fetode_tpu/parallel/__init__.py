@@ -5,7 +5,9 @@ from fetode_tpu.parallel.mesh import (  # noqa: F401
     kan_param_specs,
     kan_stack_param_specs,
     make_mesh,
+    parse_mesh_flag,
     replicated,
+    shard_batch_leaves,
     shard_params,
 )
 

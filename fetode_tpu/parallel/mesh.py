@@ -49,6 +49,43 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def shard_batch_leaves(tree, mesh: Mesh, *, batch_axis: int = 0,
+                       axis: str = "data"):
+    """device_put every array leaf with ``batch_axis`` sharded over the
+    mesh ``axis`` (all other axes replicated).
+
+    Leaves whose ``batch_axis`` does not exist or does not divide the axis
+    size are placed replicated instead — this keeps ragged eval splits and
+    per-step PRNG-key stacks (shape ``(n_batches, 2)``) legal without the
+    caller special-casing them.
+    """
+    n_shards = mesh.shape[axis]
+
+    def put(x):
+        if (hasattr(x, "ndim") and x.ndim > batch_axis
+                and x.shape[batch_axis] % n_shards == 0):
+            spec = P(*([None] * batch_axis + [axis]))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def parse_mesh_flag(flag: str):
+    """Parse a ``--mesh`` value: ``"data=4,model=2"``, ``"4"`` (pure DP)
+    or ``"auto"`` (all devices, pure DP).  Returns ``(n_devices, model)``.
+    """
+    flag = flag.strip()
+    if flag in ("auto", ""):
+        return len(jax.devices()), 1
+    if "=" not in flag:
+        return int(flag), 1
+    kv = dict(part.split("=") for part in flag.split(","))
+    data = int(kv.get("data", 1))
+    model = int(kv.get("model", 1))
+    return data * model, model
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

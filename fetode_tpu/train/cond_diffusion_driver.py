@@ -49,6 +49,10 @@ class CondDiffusionRun:
     eval_samples: int = 10
     log_every: int = 1
     val_every_step: bool = False
+    # >0: data-parallel over a ('data','model') mesh — params replicated,
+    # minibatch axis sharded over 'data', grad psum via GSPMD.
+    mesh_devices: int = 0
+    mesh_model: int = 1
 
 
 def _batches(x, y, batch_size, seed):
@@ -65,6 +69,17 @@ def train_conditional_diffusion(spec: CondDenoiserSpec, past_fut,
     sched = make_schedule(run.diff_T, run.beta_start, run.beta_end)
     key = jax.random.PRNGKey(run.seed)
     params = cond_denoiser_init(key, spec)
+
+    _shard = lambda tree, batch_axis: tree       # noqa: E731
+    if run.mesh_devices:
+        from fetode_tpu.parallel import (make_mesh, shard_batch_leaves,
+                                         shard_params)
+
+        mesh = make_mesh(run.mesh_devices, model=run.mesh_model)
+        params = shard_params(params, mesh)      # replicated
+        _shard = lambda tree, batch_axis: shard_batch_leaves(  # noqa: E731
+            tree, mesh, batch_axis=batch_axis)
+
     tx = make_optimizer(run.lr, kind="adamw", weight_decay=run.weight_decay,
                         grad_clip=run.grad_clip, params=params)
     state = init_state(params, tx)
@@ -83,7 +98,7 @@ def train_conditional_diffusion(spec: CondDenoiserSpec, past_fut,
     def val_loss(p, past, fut, k):
         return loss_fn(p, past, fut, k)
 
-    pv, fv = map(jnp.asarray, past_fut["val"])
+    pv, fv = (_shard(jnp.asarray(a), 0) for a in past_fut["val"])
     best = (np.inf, state.params)
     history = {"train": [], "val": []}
     t0 = time.perf_counter()
@@ -91,7 +106,8 @@ def train_conditional_diffusion(spec: CondDenoiserSpec, past_fut,
         key, k_ep, k_v = jax.random.split(key, 3)
         bp, bf = _batches(*past_fut["train"], run.batch_size, run.seed + ep)
         bk = jax.random.split(k_ep, bp.shape[0])
-        state, losses = epoch_fn(state, (jnp.asarray(bp), jnp.asarray(bf), bk))
+        state, losses = epoch_fn(
+            state, _shard((jnp.asarray(bp), jnp.asarray(bf), bk), 1))
         vl = float(val_loss(state.params, pv, fv, k_v))
         history["train"].append(float(losses.mean()))
         history["val"].append(vl)

@@ -53,6 +53,11 @@ class ECGRun:
     # once per block instead of per epoch (the reference tracks per
     # epoch, so 1 is the parity default).
     epochs_per_call: int = 1
+    # >0: train data-parallel over a ('data','model') mesh of this many
+    # devices — params replicated, the minibatch axis sharded over 'data',
+    # grad psum inserted by GSPMD.  batch_size must divide the data axis.
+    mesh_devices: int = 0
+    mesh_model: int = 1
 
 
 def cross_entropy(logits, labels):
@@ -82,6 +87,18 @@ def train_ecg_model(
     key = jax.random.PRNGKey(run.seed)
     key, init_key, noise_base, eval_base = jax.random.split(key, 4)
     params = init_fn(init_key)
+
+    mesh = None
+    _shard = lambda tree, batch_axis: tree       # noqa: E731
+    if run.mesh_devices:
+        from fetode_tpu.parallel import (make_mesh, shard_batch_leaves,
+                                         shard_params)
+
+        mesh = make_mesh(run.mesh_devices, model=run.mesh_model)
+        params = shard_params(params, mesh)      # replicated
+        _shard = lambda tree, batch_axis: shard_batch_leaves(  # noqa: E731
+            tree, mesh, batch_axis=batch_axis)
+
     tx = make_optimizer(run.lr, kind="adamw", weight_decay=run.weight_decay,
                         grad_clip=run.grad_clip, params=params)
     state = init_state(params, tx)
@@ -106,10 +123,12 @@ def train_ecg_model(
             jnp.stack([apply_fn(p, x, k) for k in eval_keys]), 0)
         return accuracy(logits, y)
 
-    x_test_j = jnp.asarray(x_test)
-    y_test_j = jnp.asarray(y_test)
-    x_train_j = jnp.asarray(x_train)
-    y_train_j = jnp.asarray(y_train)
+    # Eval splits shard over 'data' when their length divides the axis,
+    # else stay replicated (shard_batch_leaves handles ragged splits).
+    x_test_j = _shard(jnp.asarray(x_test), 0)
+    y_test_j = _shard(jnp.asarray(y_test), 0)
+    x_train_j = _shard(jnp.asarray(x_train), 0)
+    y_train_j = _shard(jnp.asarray(y_train), 0)
 
     history = {"loss": [], "train_acc": [], "test_acc": []}
     best = (-1.0, state.params)
@@ -126,14 +145,15 @@ def train_ecg_model(
             bx, by = batch_iterator(x_train, y_train, run.batch_size,
                                     seed=run.seed + ep)
             ep_key = jax.random.fold_in(noise_base, ep)
-            state, losses = epoch_fn(state, ep_key,
-                                     (jnp.asarray(bx), jnp.asarray(by)))
+            state, losses = epoch_fn(
+                state, ep_key,
+                _shard((jnp.asarray(bx), jnp.asarray(by)), 1))
         else:
             shuffles = [batch_iterator(x_train, y_train, run.batch_size,
                                        seed=run.seed + ep + i)
                         for i in range(n)]
-            eb = (jnp.asarray(np.stack([b[0] for b in shuffles])),
-                  jnp.asarray(np.stack([b[1] for b in shuffles])))
+            eb = _shard((jnp.asarray(np.stack([b[0] for b in shuffles])),
+                         jnp.asarray(np.stack([b[1] for b in shuffles]))), 2)
             state, losses = block_fn(state, jax.random.fold_in(noise_base, ep),
                                      eb)
         tr_acc = float(eval_acc(state.params, x_train_j, y_train_j))

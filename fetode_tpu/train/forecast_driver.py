@@ -53,6 +53,25 @@ class ForecastRun:
     seed: int = 0
     log_every: int = 10
     eval_samples: int = 10   # diffusion eval averaging
+    # >0: data-parallel over a ('data','model') mesh — params replicated,
+    # minibatch axis sharded over 'data', grad psum via GSPMD.
+    mesh_devices: int = 0
+    mesh_model: int = 1
+
+
+def _mesh_tools(run: "ForecastRun", params):
+    """(params', shard_fn) — replicate params on the run's mesh and return
+    a ``(tree, batch_axis) -> tree`` placement helper (identity when the
+    mesh is off)."""
+    if not run.mesh_devices:
+        return params, lambda tree, batch_axis: tree
+    from fetode_tpu.parallel import (make_mesh, shard_batch_leaves,
+                                     shard_params)
+
+    mesh = make_mesh(run.mesh_devices, model=run.mesh_model)
+    return (shard_params(params, mesh),
+            lambda tree, batch_axis: shard_batch_leaves(
+                tree, mesh, batch_axis=batch_axis))
 
 
 def _chunked_mean(sum_fn, p, x, y, chunk: int = 512):
@@ -90,6 +109,7 @@ def train_point_forecaster(spec: LatentODEForecasterSpec, X, y,
     """MSE point-forecast trainer (train_and_predict)."""
     windows, sx, sy = prepare_windows(X, y, run)
     params = latent_ode_forecaster_init(jax.random.PRNGKey(run.seed), spec)
+    params, _shard = _mesh_tools(run, params)
     tx = make_optimizer(run.lr, kind="adamw", weight_decay=run.weight_decay,
                         grad_clip=run.grad_clip, params=params)
     state = init_state(params, tx)
@@ -115,7 +135,8 @@ def train_point_forecaster(spec: LatentODEForecasterSpec, X, y,
     for ep in range(run.epochs):
         bx, by = window_batches(*windows["train"], run.batch_size,
                                 seed=run.seed + ep)
-        state, losses = epoch_fn(state, (jnp.asarray(bx), jnp.asarray(by)))
+        state, losses = epoch_fn(
+            state, _shard((jnp.asarray(bx), jnp.asarray(by)), 1))
         vl = float(eval_mse(state.params, xv, yv))
         history["train"].append(float(losses.mean()))
         history["val"].append(vl)
@@ -146,6 +167,7 @@ def train_diffusion_forecaster(spec: DiffusionForecasterSpec, X, y,
     sched = make_schedule(spec.diff_T)
     key = jax.random.PRNGKey(run.seed)
     params = diffusion_forecaster_init(key, spec)
+    params, _shard = _mesh_tools(run, params)
     tx = make_optimizer(run.lr, kind="adamw", weight_decay=run.weight_decay,
                         grad_clip=run.grad_clip, params=params)
     state = init_state(params, tx)
@@ -176,7 +198,8 @@ def train_diffusion_forecaster(spec: DiffusionForecasterSpec, X, y,
         bx, by = window_batches(*windows["train"], run.batch_size,
                                 seed=run.seed + ep)
         bk = jax.random.split(k_ep, bx.shape[0])
-        state, losses = epoch_fn(state, (jnp.asarray(bx), jnp.asarray(by), bk))
+        state, losses = epoch_fn(
+            state, _shard((jnp.asarray(bx), jnp.asarray(by), bk), 1))
         vl = float(eval_sample_mse(state.params, xv, yv, k_ev))
         history["train"].append(float(losses.mean()))
         history["val"].append(vl)

@@ -209,3 +209,126 @@ def test_tree_size():
     from fetode_tpu.utils.trees import tree_size
 
     assert tree_size({"a": jnp.zeros((2, 3)), "b": [jnp.zeros(4)]}) == 10
+
+
+def test_parse_mesh_flag():
+    from fetode_tpu.parallel import parse_mesh_flag
+
+    assert parse_mesh_flag("data=4,model=2") == (8, 2)
+    assert parse_mesh_flag("8") == (8, 1)
+    assert parse_mesh_flag("auto") == (len(jax.devices()), 1)
+
+
+def test_shard_batch_leaves_handles_ragged():
+    from fetode_tpu.parallel import make_mesh, shard_batch_leaves
+
+    mesh = make_mesh(8)
+    tree = {"even": jnp.zeros((4, 16, 3)),    # 16 % 8 == 0 -> sharded
+            "ragged": jnp.zeros((4, 10, 3)),  # 10 % 8 != 0 -> replicated
+            "keys": jnp.zeros((4, 2), jnp.uint32)}
+    out = shard_batch_leaves(tree, mesh, batch_axis=1)
+    assert not out["even"].sharding.is_fully_replicated
+    assert out["ragged"].sharding.is_fully_replicated
+    assert out["keys"].sharding.is_fully_replicated
+
+
+def _tiny_ecg_data(rng, n_train=16, n_test=8, T=12):
+    x_tr = rng.normal(size=(n_train, T)).astype(np.float32)
+    y_tr = (rng.random(n_train) > 0.5).astype(np.int32)
+    x_te = rng.normal(size=(n_test, T)).astype(np.float32)
+    y_te = (rng.random(n_test) > 0.5).astype(np.int32)
+    return x_tr, y_tr, x_te, y_te
+
+
+def test_ecg_driver_mesh_matches_single_device(rng):
+    """ECG trainer with mesh_devices=8 (scan path, GSPMD DP) must produce
+    the same loss curve as the single-device run (VERDICT r2 item 1)."""
+    from fetode_tpu.models import ecg as M
+    from fetode_tpu.train.ecg_driver import ECGRun, train_ecg_model
+
+    data = _tiny_ecg_data(rng)
+    spec = M.KanFetMLPNODESpec(T=12, latent_dim=8, ode_hidden=8, num_basis=2,
+                               max_steps=8)
+    init_fn = lambda k: M.kanfet_mlp_node_init(k, spec)
+    apply_fn = lambda p, x, key: M.kanfet_mlp_node_apply(p, spec, x)
+
+    kw = dict(epochs=2, batch_size=8, log_every=100)
+    _, h_ref = train_ecg_model(init_fn, apply_fn, data,
+                               ECGRun(**kw), log=None)
+    _, h_dp = train_ecg_model(init_fn, apply_fn, data,
+                              ECGRun(**kw, mesh_devices=8), log=None)
+    np.testing.assert_allclose(h_dp["loss"], h_ref["loss"],
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(h_dp["test_acc"], h_ref["test_acc"])
+
+
+def test_ecg_driver_mesh_pallas_sharded(rng):
+    """The pallas whole-solve path under the mesh (shard_map per-device
+    kernels) trains and matches the scan-path losses to solver tolerance."""
+    from fetode_tpu.models import ecg as M
+    from fetode_tpu.parallel import make_mesh
+    from fetode_tpu.train.ecg_driver import ECGRun, train_ecg_model
+
+    data = _tiny_ecg_data(rng)
+    spec = M.KanFetMLPNODESpec(T=12, latent_dim=8, ode_hidden=8, num_basis=2,
+                               max_steps=8, solver_mode="pallas")
+    mesh = make_mesh(8)
+    init_fn = lambda k: M.kanfet_mlp_node_init(k, spec)
+    apply_fn = lambda p, x, key: M.kanfet_mlp_node_apply(p, spec, x,
+                                                         mesh=mesh)
+    run = ECGRun(epochs=2, batch_size=8, log_every=100, mesh_devices=8)
+    _, hist = train_ecg_model(init_fn, apply_fn, data, run, log=None)
+    assert np.isfinite(hist["loss"]).all()
+
+    spec_scan = spec._replace(solver_mode="scan")
+    apply_scan = lambda p, x, key: M.kanfet_mlp_node_apply(p, spec_scan, x)
+    _, h_scan = train_ecg_model(init_fn, apply_scan, data,
+                                ECGRun(epochs=2, batch_size=8, log_every=100),
+                                log=None)
+    np.testing.assert_allclose(hist["loss"], h_scan["loss"],
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_forecast_driver_mesh_matches_single_device(rng):
+    from fetode_tpu.models.forecasting import LatentODEForecasterSpec
+    from fetode_tpu.train.forecast_driver import (ForecastRun,
+                                                  train_point_forecaster)
+
+    X = rng.normal(size=(220, 3)).astype(np.float32)
+    y = rng.normal(size=220).astype(np.float32)
+    spec = LatentODEForecasterSpec(num_features=3, context_len=12, pred_len=4,
+                                   latent_dim=8)
+    kw = dict(context_len=12, pred_len=4, batch_size=16, epochs=2,
+              log_every=100)
+    _, h_ref = train_point_forecaster(spec, X, y, ForecastRun(**kw), log=None)
+    _, h_dp = train_point_forecaster(spec, X, y,
+                                     ForecastRun(**kw, mesh_devices=8),
+                                     log=None)
+    np.testing.assert_allclose(h_dp["train"], h_ref["train"],
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(h_dp["test_mse"], h_ref["test_mse"],
+                               rtol=2e-3)
+
+
+def test_cond_diffusion_driver_mesh_matches_single_device(rng):
+    from fetode_tpu.models.cond_diffusion import make_denoiser_spec
+    from fetode_tpu.train.cond_diffusion_driver import (
+        CondDiffusionRun, train_conditional_diffusion)
+
+    def windows(n):
+        return (rng.normal(size=(n, 12, 3)).astype(np.float32),
+                rng.normal(size=(n, 4, 3)).astype(np.float32))
+
+    data = {"train": windows(32), "val": windows(16), "test": windows(16)}
+    spec = make_denoiser_spec("mlp", d_in=3, pred_len=4, seq_len=12,
+                              cond_dim=16, time_dim=16, hidden=32)
+    kw = dict(seq_len=12, pred_len=4, diff_T=8, epochs=2, batch_size=16,
+              log_every=100)
+    _, h_ref = train_conditional_diffusion(spec, data,
+                                           CondDiffusionRun(**kw), log=None)
+    _, h_dp = train_conditional_diffusion(
+        spec, data, CondDiffusionRun(**kw, mesh_devices=8), log=None)
+    np.testing.assert_allclose(h_dp["train"], h_ref["train"],
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(h_dp["val"], h_ref["val"],
+                               rtol=2e-4, atol=1e-6)
