@@ -12,9 +12,18 @@ vs_baseline  = speedup over the faithful PyTorch-CPU reference loop
 
 extra        = the broader measured table (BASELINE.md): batched-trajectory
                inference and training, the ECG ferro model (f32 vs bf16
-               hysteresis state), and DDPM forecast sampling (the
-               reference's self-reported hotspots, train_kan_fet_ett.py:1154
-               and kan_diffusion_ett.py:749).
+               hysteresis state), DDPM forecast sampling (the reference's
+               self-reported hotspots, train_kan_fet_ett.py:1154 and
+               kan_diffusion_ett.py:749), and the MNIST Kuramoto front-end
+               (mnist_kuramoto_kan.py:188-204).
+
+Every throughput row is the MEDIAN of >=3 independently timed windows;
+extra["dispersion"] records each row's [min, max] so any "x" ratio whose
+spreads overlap is visibly not evidence.  extra["roofline"] quantifies
+per-row FLOPs/bytes (XLA cost model for XLA programs; documented analytic
+estimates for Pallas whole-solve kernels, whose interiors are opaque to
+XLA), achieved GFLOP/s / GB/s, % of chip peak, and the binding resource
+(fetode_tpu/diag/roofline.py).
 """
 
 from __future__ import annotations
@@ -28,7 +37,11 @@ _T0 = time.perf_counter()
 # Wall-clock budget: the headline predprey bench always runs; each extra
 # stage is skipped (value null) once the deadline passes, so the driver
 # always gets its JSON line even under a tight harness timeout.
-_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE", "480"))
+# Raised 480 -> 900 in round 3: the dispersion harness (>=3 timed windows
+# per row) plus the roofline cost-analysis compiles push a warm full pass
+# to ~10 min; 480 was truncating the last three stages (ferro-op roofline,
+# diffusion sampling, traj training).
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE", "900"))
 
 
 def _elapsed() -> float:
@@ -93,6 +106,27 @@ def _sync(x):
     return float(np.asarray(jax.device_get(x)).ravel()[0])
 
 
+_N_WINDOWS = int(os.environ.get("BENCH_WINDOWS", "3"))
+
+
+def _windows(window, n=None):
+    """Dispersion harness: run the timed window >=3x, report median and
+    range.  Winner claims whose [min, max] ranges overlap are flagged in
+    BASELINE.md rather than asserted (the round-2 DDPM ranking flipped
+    across sessions precisely because rows were single-shot)."""
+    n = _N_WINDOWS if n is None else n
+    vals = sorted(window() for _ in range(max(3, n)))
+    return {"median": round(vals[len(vals) // 2], 3),
+            "min": round(vals[0], 3), "max": round(vals[-1], 3)}
+
+
+def _tree_bytes(tree) -> float:
+    import jax
+    import numpy as np
+    return float(sum(np.prod(l.shape) * l.dtype.itemsize
+                     for l in jax.tree_util.tree_leaves(tree)))
+
+
 def bench_predprey():
     import jax
     import jax.numpy as jnp
@@ -138,16 +172,59 @@ def bench_predprey():
         # later window 44-48, in-process and cross-process alike).
         state, losses = scanner(state, x0, ts_learn, target)
         _sync(losses[-1])
-        t0 = time.perf_counter()
-        for _ in range(n_calls):
-            state, losses = scanner(state, x0, ts_learn, target)
-        final_loss = _sync(losses[-1])
-        eps = n_calls * epochs_per_call / (time.perf_counter() - t0)
-        return eps, final_loss, state
+        box = {"state": state, "loss": None}
 
-    scan_eps, _, _ = time_training(spec_scan, 200, 3)
-    epochs_per_sec, final_loss, state = time_training(spec_pal, 200, 6)
+        def window():
+            s = box["state"]
+            t0 = time.perf_counter()
+            for _ in range(n_calls):
+                s, losses = scanner(s, x0, ts_learn, target)
+            box["loss"] = _sync(losses[-1])
+            box["state"] = s
+            return n_calls * epochs_per_call / (time.perf_counter() - t0)
+
+        stats = _windows(window)
+        return stats, box["loss"], box["state"], scanner, epochs_per_call
+
+    scan_stats, _, _, scan_scanner, scan_epc = time_training(spec_scan, 200, 3)
+    pal_stats, final_loss, state, _, _ = time_training(spec_pal, 200, 6)
     spec = spec_scan
+
+    # --- roofline ---------------------------------------------------------
+    roofline = {}
+    try:
+        from fetode_tpu.diag.roofline import roofline_row, xla_cost
+
+        c = xla_cost(scan_scanner, state, x0, ts_learn, target)
+        roofline["predprey_train_scan (per epoch)"] = roofline_row(
+            c["flops"] / scan_epc, c["bytes"] / scan_epc,
+            scan_stats["median"])
+        # Pallas whole-solve row: the Mosaic kernel is opaque to XLA's
+        # cost model, so count algorithmic work instead — realized dopri5
+        # steps at the trained params (while-mode solver stats) x 6 fresh
+        # RHS evals/step (FSAL) x 3 (forward + in-kernel adjoint replay,
+        # which re-evaluates the field and its VJP on the frozen mesh),
+        # with per-RHS FLOPs from XLA's cost model of one field eval.
+        pspec = spec._replace(solver_mode="while")
+        _, st = pp_predict(state.params, pspec, x0, ts_learn,
+                           full_output=True)
+        steps = float(st.n_accepted + st.n_rejected)
+        from fetode_tpu.nn.kan import kan_apply, kan_state_init
+        fstate = kan_state_init((), spec.kan, jnp.float32)
+        rhs = jax.jit(lambda p, z: kan_apply(p, spec.kan, z, fstate)[0])
+        rc = xla_cost(rhs, state.params, x0)
+        pbytes = _tree_bytes(state.params)
+        roofline["predprey_train_pallas (per epoch)"] = roofline_row(
+            steps * 6 * rc["flops"] * 3,
+            2 * pbytes + c["bytes"] / scan_epc * 0 + 4 * 35 * 2 * 3,
+            pal_stats["median"],
+            flop_source=("analytic: %d realized dopri5 steps x 6 RHS "
+                         "evals x 3 (fwd + in-kernel adjoint replay); "
+                         "RHS FLOPs from XLA cost model; HBM bytes = "
+                         "params + grads + trajectory I/O (solver state "
+                         "is VMEM-resident)" % int(steps)))
+    except Exception as e:                                    # noqa: BLE001
+        roofline["error"] = f"{type(e).__name__}: {e}"
 
     # Batched-trajectory inference throughput: vmap over initial conditions
     # (the TPU-native upgrade the reference's stateful buffers forbid).
@@ -160,14 +237,18 @@ def bench_predprey():
     def solve_batch(p, x0s):
         return jax.vmap(lambda x0: pp_predict(p, infer_spec, x0, ts))(x0s)
 
-    out = solve_batch(state.params, x0s)
-    _sync(out[0, 0, 0])
+    _sync(solve_batch(state.params, x0s)[0, 0, 0])
+    _sync(solve_batch(state.params, x0s)[0, 0, 0])
     n_rep = 5
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = solve_batch(state.params, x0s)
-    _sync(out[0, 0, 0])
-    traj_per_sec = n_rep * n_traj / (time.perf_counter() - t0)
+
+    def infer_window():
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            out = solve_batch(state.params, x0s)
+        _sync(out[0, 0, 0])
+        return n_rep * n_traj / (time.perf_counter() - t0)
+
+    infer_stats = _windows(infer_window)
 
     # Whole-solve Pallas kernel (ops/pallas_node.py): the entire adaptive
     # dopri5 integration in ONE kernel, per-lane step control.  Measured
@@ -182,13 +263,18 @@ def bench_predprey():
 
     for _ in range(3):
         _sync(solve_pallas(state.params, x0s)[0, 0, 0])
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = solve_pallas(state.params, x0s)
-    _sync(out[0, 0, 0])
-    pallas_traj_per_sec = n_rep * n_traj / (time.perf_counter() - t0)
-    return (epochs_per_sec, scan_eps, final_loss, traj_per_sec,
-            pallas_traj_per_sec)
+
+    def pallas_infer_window():
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            out = solve_pallas(state.params, x0s)
+        _sync(out[0, 0, 0])
+        return n_rep * n_traj / (time.perf_counter() - t0)
+
+    pallas_infer_stats = _windows(pallas_infer_window)
+    return {"pallas": pal_stats, "scan": scan_stats,
+            "final_loss": final_loss, "infer": infer_stats,
+            "pallas_infer": pallas_infer_stats, "roofline": roofline}
 
 
 def bench_traj_training():
@@ -208,7 +294,7 @@ def bench_traj_training():
                           cosine_decay=False)
     ts_learn, x0s, targets = make_batched_data(run)
 
-    def time_mode(spec):
+    def time_mode(spec, want_cost=False):
         params = predprey_init(jax.random.PRNGKey(0), spec)
         tx = make_optimizer(run.lr, kind="adam", grad_clip=run.grad_clip,
                             params=params)
@@ -234,23 +320,41 @@ def bench_traj_training():
         state, losses = scanner(state, x0s, targets)       # first-load warm
         _sync(losses[-1])
         n_calls = run.epochs // run.epochs_per_call
-        t0 = time.perf_counter()
-        for _ in range(n_calls):
-            state, losses = scanner(state, x0s, targets)
-        _sync(losses[-1])
-        return run.n_traj * run.epochs / (time.perf_counter() - t0)
+        box = {"s": state}
 
-    return (time_mode(run.spec._replace(solver_mode="pallas")),
-            time_mode(run.spec))
+        def window():
+            s = box["s"]
+            t0 = time.perf_counter()
+            for _ in range(n_calls):
+                s, losses = scanner(s, x0s, targets)
+            _sync(losses[-1])
+            box["s"] = s
+            return run.n_traj * run.epochs / (time.perf_counter() - t0)
+
+        stats = _windows(window)
+        cost = None
+        if want_cost:
+            from fetode_tpu.diag.roofline import xla_cost
+            c = xla_cost(scanner, box["s"], x0s, targets)
+            # per traj-epoch (the row's throughput unit)
+            denom = run.epochs_per_call * run.n_traj
+            cost = {"flops": c["flops"] / denom, "bytes": c["bytes"] / denom}
+        return stats, cost
+
+    pal_stats, _ = time_mode(run.spec._replace(solver_mode="pallas"))
+    scan_stats, scan_cost = time_mode(run.spec, want_cost=True)
+    return {"pallas": pal_stats, "scan": scan_stats, "scan_cost": scan_cost}
 
 
-def bench_ecg_ferro(state_dtype="", solver_mode="scan", pallas_layout="loop"):
+def bench_ecg_ferro(state_dtype="", solver_mode="scan", pallas_layout="loop",
+                    want_cost=False):
     """ECG ferro MLP-NODE training epochs/sec (full ECG200-sized epoch:
     100 samples, batch 8, dopri5 latent solve + grad + AdamW).
 
     ``solver_mode="pallas"``: whole-solve in-kernel discrete adjoint
     (ops/pallas_ferro_node.py); ``pallas_layout="vec"`` selects the
-    batch-vectorized kernel layout."""
+    batch-vectorized kernel layout.  Returns (stats, cost_per_epoch|None);
+    cost comes from XLA's model and is only exact for the scan program."""
     import jax
     import jax.numpy as jnp
 
@@ -293,14 +397,27 @@ def bench_ecg_ferro(state_dtype="", solver_mode="scan", pallas_layout="loop"):
     state, losses = epoch_fn(state, jax.random.fold_in(key, 99), eb)
     _sync(losses[-1, -1])
     n_calls = 3
-    t0 = time.perf_counter()
-    for i in range(n_calls):
-        state, losses = epoch_fn(state, jax.random.fold_in(key, i), eb)
-    _sync(losses[-1, -1])
-    return n_calls * E / (time.perf_counter() - t0)
+    box = {"s": state}
+
+    def window():
+        s = box["s"]
+        t0 = time.perf_counter()
+        for i in range(n_calls):
+            s, losses = epoch_fn(s, jax.random.fold_in(key, i), eb)
+        _sync(losses[-1, -1])
+        box["s"] = s
+        return n_calls * E / (time.perf_counter() - t0)
+
+    stats = _windows(window)
+    cost = None
+    if want_cost:
+        from fetode_tpu.diag.roofline import xla_cost
+        c = xla_cost(epoch_fn, box["s"], key, eb)
+        cost = {"flops": c["flops"] / E, "bytes": c["bytes"] / E}
+    return stats, cost
 
 
-def bench_ecg_logistic(solver_mode="scan", field="plain"):
+def bench_ecg_logistic(solver_mode="scan", field="plain", want_cost=False):
     """ECG KanFetNODE training epochs/sec — same protocol as
     bench_ecg_ferro; "pallas" = whole-solve in-kernel adjoint
     (ops/pallas_logistic_node.py for field='plain',
@@ -337,11 +454,24 @@ def bench_ecg_logistic(solver_mode="scan", field="plain"):
     state, losses = epoch_fn(state, jax.random.fold_in(key, 99), eb)
     _sync(losses[-1, -1])   # first-load warm (see bench_ecg_ferro)
     n_calls = 3
-    t0 = time.perf_counter()
-    for i in range(n_calls):
-        state, losses = epoch_fn(state, jax.random.fold_in(key, i), eb)
-    _sync(losses[-1, -1])
-    return n_calls * E / (time.perf_counter() - t0)
+    box = {"s": state}
+
+    def window():
+        s = box["s"]
+        t0 = time.perf_counter()
+        for i in range(n_calls):
+            s, losses = epoch_fn(s, jax.random.fold_in(key, i), eb)
+        _sync(losses[-1, -1])
+        box["s"] = s
+        return n_calls * E / (time.perf_counter() - t0)
+
+    stats = _windows(window)
+    cost = None
+    if want_cost:
+        from fetode_tpu.diag.roofline import xla_cost
+        c = xla_cost(epoch_fn, box["s"], key, eb)
+        cost = {"flops": c["flops"] / E, "bytes": c["bytes"] / E}
+    return stats, cost
 
 
 def bench_diffusion_sampling():
@@ -365,7 +495,7 @@ def bench_diffusion_sampling():
     B = 64
     x_ctx = jax.random.normal(key, (B, spec.context_len, spec.num_features))
 
-    def timed(sampler, n_samples=1):
+    def timed(sampler, n_samples=1, want_cost=False):
         @jax.jit
         def sample(p, x_ctx, k):
             return diffusion_forecaster_sample(p, spec, sched, x_ctx, k,
@@ -377,16 +507,153 @@ def bench_diffusion_sampling():
         for i in range(5):
             _sync(sample(params, x_ctx,
                          jax.random.fold_in(key, 100 + i)).ravel()[0])
-        n_rep = 15
-        t0 = time.perf_counter()
-        for i in range(n_rep):
-            out = sample(params, x_ctx, jax.random.fold_in(key, i))
-        _sync(out.ravel()[0])
-        return n_rep * n_samples * B / (time.perf_counter() - t0)
+        n_rep = 10
 
-    # n_samples=10 folds the reference's 10-sample eval averaging
-    # (kan_diffusion_ett.py:1133) into one gridded kernel launch
-    return timed("pallas"), timed("scan"), timed("pallas", n_samples=10)
+        def window():
+            t0 = time.perf_counter()
+            for i in range(n_rep):
+                out = sample(params, x_ctx, jax.random.fold_in(key, i))
+            _sync(out.ravel()[0])
+            return n_rep * n_samples * B / (time.perf_counter() - t0)
+
+        stats = _windows(window)
+        cost = None
+        if want_cost:
+            from fetode_tpu.diag.roofline import xla_cost
+            c = xla_cost(sample, params, x_ctx, key)
+            cost = {"flops": c["flops"] / (n_samples * B),
+                    "bytes": c["bytes"] / (n_samples * B)}
+        return stats, cost
+
+    pal, _ = timed("pallas")
+    scan, scan_cost = timed("scan", want_cost=True)
+    fold10, _ = timed("pallas", n_samples=10)
+    return {"pallas": pal, "scan": scan, "folded10": fold10,
+            "scan_cost": scan_cost}
+
+
+def bench_kuramoto():
+    """MNIST Kuramoto front-end throughput (mnist_kuramoto_kan.py:188-204):
+    10 Euler steps of the phase lattice + KANLinear head.  Train row =
+    full grad+AdamW step epochs over 8x256 images; forward row = inference
+    images/sec at B=1024.  Pure scan+conv XLA program — exact roofline."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fetode_tpu.models.kuramoto import (
+        KuramotoSpec,
+        kuramoto_init,
+        kuramoto_kan_apply,
+    )
+    from fetode_tpu.train.loop import init_state, make_minibatch_epoch
+    from fetode_tpu.train.optim import make_optimizer
+
+    spec = KuramotoSpec()
+    key = jax.random.PRNGKey(0)
+    params = kuramoto_init(key, spec)
+    n_batches, B = 8, 256
+    imgs = jax.random.uniform(key, (n_batches, B, spec.H, spec.W),
+                              jnp.float32)
+    labels = jax.random.randint(jax.random.fold_in(key, 1), (n_batches, B),
+                                0, spec.num_classes)
+
+    def loss_fn(p, xb, yb):
+        logits = kuramoto_kan_apply(p, spec, xb)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, yb).mean()
+
+    tx = make_optimizer(1e-3, kind="adamw", weight_decay=1e-4, params=params)
+    state = init_state(params, tx)
+    epoch_fn = make_minibatch_epoch(loss_fn, tx)
+    state, losses = epoch_fn(state, (imgs, labels))      # compile
+    _sync(losses[-1])
+    state, losses = epoch_fn(state, (imgs, labels))      # first-load warm
+    _sync(losses[-1])
+    n_calls = 4
+    box = {"s": state}
+
+    def train_window():
+        s = box["s"]
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            s, losses = epoch_fn(s, (imgs, labels))
+        _sync(losses[-1])
+        box["s"] = s
+        return n_calls * n_batches * B / (time.perf_counter() - t0)
+
+    train_stats = _windows(train_window)
+
+    fwd = jax.jit(lambda p, x: kuramoto_kan_apply(p, spec, x))
+    x_big = imgs.reshape(-1, spec.H, spec.W)[:1024]
+    x_big = jnp.concatenate([x_big, x_big[: 1024 - x_big.shape[0]]]) \
+        if x_big.shape[0] < 1024 else x_big
+    _sync(fwd(box["s"].params, x_big)[0, 0])
+    _sync(fwd(box["s"].params, x_big)[0, 0])
+
+    def fwd_window():
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = fwd(box["s"].params, x_big)
+        _sync(out[0, 0])
+        return 5 * x_big.shape[0] / (time.perf_counter() - t0)
+
+    fwd_stats = _windows(fwd_window)
+    cost = {}
+    try:
+        from fetode_tpu.diag.roofline import xla_cost
+        c = xla_cost(epoch_fn, box["s"], (imgs, labels))
+        cost["train_per_image"] = {k: v / (n_batches * B)
+                                   for k, v in c.items()}
+        c = xla_cost(fwd, box["s"].params, x_big)
+        cost["fwd_per_image"] = {k: v / x_big.shape[0] for k, v in c.items()}
+    except Exception as e:                                    # noqa: BLE001
+        cost["error"] = f"{type(e).__name__}: {e}"
+    return {"train": train_stats, "fwd": fwd_stats, "cost": cost}
+
+
+def bench_ferro_op():
+    """Op-level ferro hysteresis basis forward at the documented claim
+    shape (ops/pallas_ferro.py header: B=256, in=64, out=128, K=12, f32):
+    measures the XLA-fused jnp path's achieved HBM bandwidth so the
+    '~HBM-roofline' statement is a number, not an adjective."""
+    import jax
+    import jax.numpy as jnp
+
+    from fetode_tpu.ops.ferro import (
+        FerroConfig,
+        ferro_apply,
+        ferro_init,
+        ferro_state_init,
+    )
+
+    cfg = FerroConfig(64, 128, 12)
+    B = 256
+    key = jax.random.PRNGKey(0)
+    params = ferro_init(key, cfg)
+    state = ferro_state_init((B,), cfg)
+    x = jax.random.normal(key, (B, 64), jnp.float32)
+
+    f = jax.jit(lambda p, s, xb: ferro_apply(p, s, xb, cfg))
+    out, new_state = f(params, state, x)
+    _sync(out[0, 0])
+    _sync(f(params, state, x)[0][0, 0])
+    n_rep = 30
+
+    def window():
+        s = state
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            out, s = f(params, s, x)
+        _sync(out[0, 0])
+        return n_rep / (time.perf_counter() - t0)
+
+    stats = _windows(window)
+    from fetode_tpu.diag.roofline import roofline_row, xla_cost
+    c = xla_cost(f, params, state, x)
+    return {"ops_per_sec": stats,
+            "roofline": roofline_row(c["flops"], c["bytes"],
+                                     stats["median"])}
 
 
 def _round(x, nd):
@@ -402,8 +669,7 @@ def main() -> None:
     jax.devices()
     disarm()
 
-    (epochs_per_sec, scan_eps, final_loss, traj_per_sec,
-     pallas_traj_per_sec) = _stage("predprey headline", bench_predprey)
+    pp = _stage("predprey headline", bench_predprey)
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "baseline_cpu.json")
@@ -412,39 +678,130 @@ def main() -> None:
         with open(base_path) as fh:
             baseline_sec_per_epoch = json.load(fh)["sec_per_epoch"]
 
+    dispersion = {
+        "predprey_pallas_epochs_per_sec": pp["pallas"],
+        "predprey_scan_epochs_per_sec": pp["scan"],
+        "trajectories_per_sec_per_chip": pp["infer"],
+        "pallas_whole_solve_traj_per_sec": pp["pallas_infer"],
+    }
+    roofline = dict(pp["roofline"])
+
     # Stage order: the many cheap model-zoo rows (~25 s each) run before
     # the one expensive traj-training stage (~175 s of compiles), so a
     # deadline truncation nulls ONE row instead of four (the r02 full
     # pass lost ferro-bf16/logistic/diffusion that way).
     extra = {
-        "final_train_loss": final_loss,
-        "scan_mode_epochs_per_sec": round(scan_eps, 2),
-        "trajectories_per_sec_per_chip": round(traj_per_sec, 1),
-        "pallas_whole_solve_traj_per_sec": round(pallas_traj_per_sec, 1),
-        "ecg_ferro_pallas_epochs_per_sec": _round(
-            _stage("ecg ferro pallas",
-                   bench_ecg_ferro, solver_mode="pallas"), 2),
-        "ecg_ferro_epochs_per_sec": _round(
-            _stage("ecg ferro scan", bench_ecg_ferro), 2),
-        "ecg_ferro_bf16state_epochs_per_sec": _round(
-            _stage("ecg ferro bf16", bench_ecg_ferro, "bfloat16"), 2),
-        "ecg_logistic_node_pallas_epochs_per_sec": _round(
-            _stage("ecg logistic pallas",
-                   bench_ecg_logistic, solver_mode="pallas"), 2),
-        "ecg_logistic_node_epochs_per_sec": _round(
-            _stage("ecg logistic scan", bench_ecg_logistic), 2),
-        "diffusion_samples_per_sec": None,      # filled below
+        "final_train_loss": pp["final_loss"],
+        "scan_mode_epochs_per_sec": pp["scan"]["median"],
+        "trajectories_per_sec_per_chip": pp["infer"]["median"],
+        "pallas_whole_solve_traj_per_sec": pp["pallas_infer"]["median"],
         "baseline_cpu_sec_per_epoch": baseline_sec_per_epoch,
         "device": str(jax.devices()[0]),
     }
+
+    def add_row(key_name, stage_name, fn, *args, cost_key=None, unit=1.0,
+                **kwargs):
+        out = _stage(stage_name, fn, *args, **kwargs)
+        if out is None:
+            extra[key_name] = None
+            return None
+        stats, cost = out
+        extra[key_name] = stats["median"]
+        dispersion[key_name] = stats
+        if cost is not None and cost_key is not None:
+            from fetode_tpu.diag.roofline import roofline_row
+            roofline[cost_key] = roofline_row(cost["flops"], cost["bytes"],
+                                              stats["median"])
+        return cost
+
+    ferro_scan_cost = add_row(
+        "ecg_ferro_epochs_per_sec", "ecg ferro scan", bench_ecg_ferro,
+        want_cost=True, cost_key="ecg_ferro_train_scan (per epoch)")
+    pal = _stage("ecg ferro pallas", bench_ecg_ferro, solver_mode="pallas")
+    if pal is not None:
+        extra["ecg_ferro_pallas_epochs_per_sec"] = pal[0]["median"]
+        dispersion["ecg_ferro_pallas_epochs_per_sec"] = pal[0]
+        if ferro_scan_cost is not None:
+            from fetode_tpu.diag.roofline import roofline_row
+            roofline["ecg_ferro_train_pallas (per epoch)"] = roofline_row(
+                ferro_scan_cost["flops"], ferro_scan_cost["bytes"],
+                pal[0]["median"],
+                flop_source=("scan-program XLA cost reused as an upper "
+                             "bound: the whole-solve kernel executes "
+                             "data-dependent (fewer) dopri5 steps than the "
+                             "fixed 256-step masked scan, so true "
+                             "utilisation is at or below this row"))
+    else:
+        extra["ecg_ferro_pallas_epochs_per_sec"] = None
+    bf16 = _stage("ecg ferro bf16", bench_ecg_ferro, "bfloat16")
+    extra["ecg_ferro_bf16state_epochs_per_sec"] = (
+        None if bf16 is None else bf16[0]["median"])
+    if bf16 is not None:
+        dispersion["ecg_ferro_bf16state_epochs_per_sec"] = bf16[0]
+
+    lpal = _stage("ecg logistic pallas", bench_ecg_logistic,
+                  solver_mode="pallas")
+    extra["ecg_logistic_node_pallas_epochs_per_sec"] = (
+        None if lpal is None else lpal[0]["median"])
+    if lpal is not None:
+        dispersion["ecg_logistic_node_pallas_epochs_per_sec"] = lpal[0]
+    add_row("ecg_logistic_node_epochs_per_sec", "ecg logistic scan",
+            bench_ecg_logistic, want_cost=True,
+            cost_key="ecg_logistic_train_scan (per epoch)")
+
+    kur = _stage("kuramoto", bench_kuramoto)
+    if kur is not None:
+        extra["kuramoto_train_images_per_sec"] = kur["train"]["median"]
+        extra["kuramoto_fwd_images_per_sec"] = kur["fwd"]["median"]
+        dispersion["kuramoto_train_images_per_sec"] = kur["train"]
+        dispersion["kuramoto_fwd_images_per_sec"] = kur["fwd"]
+        if "train_per_image" in kur["cost"]:
+            from fetode_tpu.diag.roofline import roofline_row
+            roofline["kuramoto_train (per image)"] = roofline_row(
+                kur["cost"]["train_per_image"]["flops"],
+                kur["cost"]["train_per_image"]["bytes"],
+                kur["train"]["median"])
+            roofline["kuramoto_fwd (per image)"] = roofline_row(
+                kur["cost"]["fwd_per_image"]["flops"],
+                kur["cost"]["fwd_per_image"]["bytes"],
+                kur["fwd"]["median"])
+
+    fop = _stage("ferro op roofline", bench_ferro_op)
+    if fop is not None:
+        roofline["ferro_op_forward (per op, B=256 in=64 out=128 K=12)"] = \
+            fop["roofline"]
+        dispersion["ferro_op_ops_per_sec"] = fop["ops_per_sec"]
+
     diff = _stage("diffusion sampling", bench_diffusion_sampling)
+    extra["diffusion_samples_per_sec"] = None
     if diff is not None:
-        extra["diffusion_samples_per_sec"] = round(diff[0], 1)
-        extra["diffusion_scan_samples_per_sec"] = round(diff[1], 1)
-        extra["diffusion_folded10_samples_per_sec"] = round(diff[2], 1)
-    traj_train = _stage("traj training", bench_traj_training) or (None, None)
-    extra["traj_training_traj_epochs_per_sec"] = _round(traj_train[0], 1)
-    extra["traj_training_scan_traj_epochs_per_sec"] = _round(traj_train[1], 1)
+        extra["diffusion_samples_per_sec"] = diff["pallas"]["median"]
+        extra["diffusion_scan_samples_per_sec"] = diff["scan"]["median"]
+        extra["diffusion_folded10_samples_per_sec"] = diff["folded10"]["median"]
+        dispersion["diffusion_samples_per_sec"] = diff["pallas"]
+        dispersion["diffusion_scan_samples_per_sec"] = diff["scan"]
+        dispersion["diffusion_folded10_samples_per_sec"] = diff["folded10"]
+        if diff["scan_cost"] is not None:
+            from fetode_tpu.diag.roofline import roofline_row
+            roofline["ddpm_sample_scan (per sample)"] = roofline_row(
+                diff["scan_cost"]["flops"], diff["scan_cost"]["bytes"],
+                diff["scan"]["median"])
+
+    tt = _stage("traj training", bench_traj_training)
+    if tt is not None:
+        extra["traj_training_traj_epochs_per_sec"] = tt["pallas"]["median"]
+        extra["traj_training_scan_traj_epochs_per_sec"] = tt["scan"]["median"]
+        dispersion["traj_training_traj_epochs_per_sec"] = tt["pallas"]
+        dispersion["traj_training_scan_traj_epochs_per_sec"] = tt["scan"]
+        if tt["scan_cost"] is not None:
+            from fetode_tpu.diag.roofline import roofline_row
+            roofline["traj_train_scan (per traj-epoch)"] = roofline_row(
+                tt["scan_cost"]["flops"], tt["scan_cost"]["bytes"],
+                tt["scan"]["median"])
+    else:
+        extra["traj_training_traj_epochs_per_sec"] = None
+        extra["traj_training_scan_traj_epochs_per_sec"] = None
+
     # Convergence/parity evidence from the recorded full 10k-epoch run
     # (benchmarks/predprey_10k_run.json, produced on this chip).
     run_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -456,11 +813,14 @@ def main() -> None:
         extra["full_run_final_test_extrap_mse"] = rec.get("final_test_extrap")
         extra["full_run_best_test_mse"] = rec.get("min_test_extrap")
 
+    extra["dispersion"] = dispersion
+    extra["roofline"] = roofline
     result = {
         "metric": "predprey KANFET-NODE training throughput (dopri5 rtol1e-7, full epoch incl. grad+Adam; in-kernel discrete-adjoint path)",
-        "value": round(epochs_per_sec, 3),
+        "value": round(pp["pallas"]["median"], 3),
         "unit": "epochs/sec",
-        "vs_baseline": (round(epochs_per_sec * baseline_sec_per_epoch, 2)
+        "vs_baseline": (round(pp["pallas"]["median"] * baseline_sec_per_epoch,
+                              2)
                         if baseline_sec_per_epoch else None),
         "extra": extra,
     }
