@@ -26,6 +26,12 @@ def _parse(argv):
                    help="pin the jax platform (env vars alone cannot "
                         "override a registered TPU plugin; this sets the "
                         "jax_platforms config flag before device init)")
+    p.add_argument("--mesh", default=None,
+                   help="train data-parallel over a device mesh: "
+                        "'data=N[,model=M]', a device count, or 'auto' "
+                        "(all devices). Supported by the ecg/ett/"
+                        "cond_diffusion/timemmd workloads (predprey uses "
+                        "--shooting-devices / the traj driver)")
     args, unknown = p.parse_known_args(argv)
     overrides = {}
     key = None
@@ -58,7 +64,9 @@ def run_predprey(cfg, out_dir, plots):
                       epochs_per_call=cfg.epochs_per_call, seed=cfg.seed,
                       consistent_time_base=cfg.consistent_time_base,
                       shooting_points=cfg.shooting_points,
-                      shooting_devices=cfg.shooting_devices)
+                      shooting_devices=cfg.shooting_devices,
+                      ckpt_dir=cfg.ckpt_dir, ckpt_every=cfg.ckpt_every,
+                      resume=cfg.resume)
     logger = MetricLogger(os.path.join(out_dir, "metrics.jsonl"))
     params, hist = train_predprey(run, log=lambda m: print(m, flush=True))
     for i, (ep, tr) in enumerate(zip(hist["epoch"], hist["train"])):
@@ -84,16 +92,24 @@ def run_predprey(cfg, out_dir, plots):
             "final_train": hist["train"][-1]}
 
 
-def run_ecg(cfg, out_dir, plots):
+def _load_ecg_data():
     from fetode_tpu.data.ecg200 import load_ecg200, synthetic_ecg200
+
+    try:
+        return load_ecg200()
+    except FileNotFoundError:
+        print("ECG200 files not found; using synthetic stand-in")
+        return synthetic_ecg200()
+
+
+def run_ecg(cfg, out_dir, plots, data=None):
     from fetode_tpu.models import ecg as M
     from fetode_tpu.train.ecg_driver import ECGRun, train_ecg_model
 
-    try:
-        data = load_ecg200()
-    except FileNotFoundError:
-        print("ECG200 files not found; using synthetic stand-in")
-        data = synthetic_ecg200()
+    if data is None:
+        data = _load_ecg_data()
+    if cfg.model == "all":
+        return _run_ecg_all(cfg, data, out_dir, plots)
     T = data[0].shape[1]
 
     loops_fn = None   # ferro models: trained-params P-E loop extractor
@@ -111,9 +127,17 @@ def run_ecg(cfg, out_dir, plots):
                                    rtol=cfg.rtol, atol=cfg.atol,
                                    noise_std=cfg.noise_std,
                                    solver_mode=cfg.solver_mode)
+        # The pallas whole-solve kernel is a custom call GSPMD cannot
+        # partition; under --mesh it runs per-device via shard_map
+        # (pallas_ferro_node_solve_sharded) — pass the mesh explicitly.
+        mesh = None
+        if cfg.mesh_devices and cfg.solver_mode == "pallas":
+            from fetode_tpu.parallel import make_mesh
+            mesh = make_mesh(cfg.mesh_devices, model=cfg.mesh_model)
         init_fn = lambda k: M.kanfet_mlp_node_init(k, spec)
         apply_fn = lambda p, x, key: M.kanfet_mlp_node_apply(
-            p, spec, x, noise_key=key if cfg.noise_std > 0 else None)
+            p, spec, x, noise_key=key if cfg.noise_std > 0 else None,
+            mesh=mesh)
         loops_fn = lambda p: [("fc1", p["fc1"], spec.fc1_cfg),
                               ("fc2", p["fc2"], spec.fc2_cfg)]
     elif cfg.model == "fepa_rnn":
@@ -152,7 +176,8 @@ def run_ecg(cfg, out_dir, plots):
 
     run = ECGRun(epochs=cfg.epochs, batch_size=cfg.batch_size, lr=cfg.lr,
                  weight_decay=cfg.weight_decay, seed=cfg.seed,
-                 epochs_per_call=cfg.epochs_per_call)
+                 epochs_per_call=cfg.epochs_per_call,
+                 mesh_devices=cfg.mesh_devices, mesh_model=cfg.mesh_model)
     params, hist = train_ecg_model(init_fn, apply_fn, data, run)
     if plots:
         from fetode_tpu.diag.plots import plot_losses
@@ -180,7 +205,49 @@ def run_ecg(cfg, out_dir, plots):
                                max_panels=6, prefix=f"{prefix}_noisy",
                                noise_key=jax.random.fold_in(
                                    jax.random.PRNGKey(cfg.seed), li))
-    return {"best_test_acc": hist["best_test_acc"]}
+    return {"best_test_acc": hist["best_test_acc"],
+            "test_acc_curve": [float(a) for a in hist["test_acc"]]}
+
+
+# The reference's end-of-run multi-model comparison (train_ecg.py:1418-1463:
+# Digital RNN vs FEPA-RNN vs KanFet models on one chart) plus the
+# clean-vs-noisy study (compare_noise_ecg.py:1250-1452) as ONE invocation:
+# ``ecg --model all [--plots]``.
+_ECG_ALL_MODELS = ("digital_rnn", "fepa_rnn", "kanfet_node",
+                   "kanfet_mlp_node")
+
+
+def _run_ecg_all(cfg, data, out_dir, plots):
+    import dataclasses
+
+    variants = [(m, 0.0) for m in _ECG_ALL_MODELS]
+    # Noisy ferro device variant (NoisyFerroelectricBasis default std 0.2,
+    # ferro_class.py:238) — the clean-vs-noisy panel pair.
+    variants.append(("kanfet_mlp_node",
+                     cfg.noise_std if cfg.noise_std > 0 else 0.2))
+    curves, table = {}, {}
+    for name, noise in variants:
+        label = f"{name}_noisy" if noise > 0 else name
+        mcfg = dataclasses.replace(cfg, model=name, noise_std=noise)
+        sub = os.path.join(out_dir, label)
+        os.makedirs(sub, exist_ok=True)
+        print(f"[ecg all] training {label}", flush=True)
+        res = run_ecg(mcfg, sub, plots, data=data)
+        curves[label] = res["test_acc_curve"]
+        table[label] = res["best_test_acc"]
+        print(f"[ecg all] {label}: best test acc {res['best_test_acc']:.4f}",
+              flush=True)
+    if plots:
+        from fetode_tpu.diag.plots import plot_model_comparison
+
+        plot_model_comparison(curves,
+                              os.path.join(out_dir, "model_comparison.png"))
+    with open(os.path.join(out_dir, "accuracy_table.json"), "w") as f:
+        json.dump(table, f, indent=2)
+    print("model".ljust(26), "best test acc")
+    for label, acc in sorted(table.items(), key=lambda kv: -kv[1]):
+        print(label.ljust(26), f"{acc:.4f}")
+    return {"best_test_acc": table}
 
 
 def run_ett(cfg, out_dir, plots):
@@ -200,7 +267,9 @@ def run_ett(cfg, out_dir, plots):
     run = ForecastRun(context_len=cfg.context_len, pred_len=cfg.pred_len,
                       batch_size=cfg.batch_size, epochs=cfg.epochs,
                       lr=cfg.lr, weight_decay=cfg.weight_decay,
-                      eval_samples=cfg.eval_samples, seed=cfg.seed)
+                      eval_samples=cfg.eval_samples, seed=cfg.seed,
+                      mesh_devices=cfg.mesh_devices,
+                      mesh_model=cfg.mesh_model)
     if cfg.model == "point":
         spec = LatentODEForecasterSpec(num_features=X.shape[1],
                                        context_len=cfg.context_len,
@@ -257,7 +326,9 @@ def run_cond_diffusion(cfg, out_dir, plots):
     run = CondDiffusionRun(seq_len=cfg.seq_len, pred_len=cfg.pred_len,
                            diff_T=cfg.diff_t, epochs=cfg.epochs,
                            batch_size=cfg.batch_size, lr=cfg.lr,
-                           eval_samples=cfg.eval_samples, seed=cfg.seed)
+                           eval_samples=cfg.eval_samples, seed=cfg.seed,
+                           mesh_devices=cfg.mesh_devices,
+                           mesh_model=cfg.mesh_model)
     params, hist = train_conditional_diffusion(spec, data, run)
     # Sampling-based test forecast MSE/MAE (the reference's
     # evaluate_forecast_samples protocol, kan_diffusion_ett.py:764-865);
@@ -306,7 +377,8 @@ def run_timemmd(cfg, out_dir, plots):
 
     run = ForecastRun(context_len=cfg.context_len, pred_len=cfg.pred_len,
                       batch_size=cfg.batch_size, epochs=cfg.epochs, lr=cfg.lr,
-                      seed=cfg.seed)
+                      seed=cfg.seed, mesh_devices=cfg.mesh_devices,
+                      mesh_model=cfg.mesh_model)
     spec = DiffusionForecasterSpec(num_features=X.shape[1],
                                    context_len=cfg.context_len,
                                    pred_len=cfg.pred_len, encoder="kanrnn")
@@ -425,6 +497,9 @@ def main(argv=None):
 
     args, overrides = _parse(argv if argv is not None else sys.argv[1:])
     cfg = make_config(args.workload, overrides)
+    if args.mesh and not hasattr(cfg, "mesh_devices"):
+        raise SystemExit(f"--mesh is not supported by the "
+                         f"{args.workload!r} workload")
     os.makedirs(args.out_dir, exist_ok=True)
     print(f"workload={args.workload} config={cfg}")
     import jax
@@ -438,6 +513,12 @@ def main(argv=None):
         float(os.environ.get("FETODE_DEVICE_TIMEOUT", "300")))
     jax.devices()
     disarm()
+    if args.mesh:
+        from fetode_tpu.parallel import parse_mesh_flag
+
+        cfg.mesh_devices, cfg.mesh_model = parse_mesh_flag(args.mesh)
+        print(f"mesh: {cfg.mesh_devices} devices "
+              f"(model axis {cfg.mesh_model})")
     result = RUNNERS[args.workload](cfg, args.out_dir, args.plots)
     with open(os.path.join(args.out_dir, "result.json"), "w") as f:
         json.dump(result, f, indent=2)

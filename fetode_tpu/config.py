@@ -42,6 +42,14 @@ class PredPreyPreset:
     # (PredPreyRun.shooting_devices).
     shooting_points: int = 0
     shooting_devices: int = 0
+    # Durable checkpoint/resume (orbax): --ckpt-dir runs/ckpt
+    # --ckpt-every 500 saves the full train state every 500 epochs;
+    # --resume restores the latest checkpoint from --ckpt-dir and
+    # continues (the reference's load_ckpt is a dead call,
+    # predator_prey.py:123-124).
+    ckpt_dir: str = ""
+    ckpt_every: int = 0
+    resume: bool = False
     seed: int = 0
 
 
@@ -50,7 +58,10 @@ class ECGPreset:
     """train_ecg_kan_fet_nn_ode.py:1181-1261 (100 epochs "sweet spot",
     batch 8, latent 64, basis 12, dopri5 rtol 1e-2 atol 1e-3)."""
 
-    model: str = "kanfet_node"       # kanfet_node|kanfet_mlp_node|fepa_rnn|digital_rnn|node_rnn
+    # kanfet_node|kanfet_mlp_node|fepa_rnn|digital_rnn|node_rnn, or "all":
+    # train the reference's comparison set (+ a noisy ferro variant) and
+    # emit the multi-model chart/table (train_ecg.py:1418-1463).
+    model: str = "kanfet_node"
     epochs: int = 100
     batch_size: int = 8
     lr: float = 1e-3
@@ -72,6 +83,9 @@ class ECGPreset:
     # whole epoch groups into one jit (3-4x on fast models); 1 keeps the
     # reference's per-epoch eval/best-tracking.
     epochs_per_call: int = 1
+    # Data-parallel mesh (set via --mesh or directly): 0 = single device.
+    mesh_devices: int = 0
+    mesh_model: int = 1
     seed: int = 0
 
 
@@ -92,6 +106,8 @@ class ETTPreset:
     latent_dim: int = 64
     diff_t: int = 200
     eval_samples: int = 10
+    mesh_devices: int = 0
+    mesh_model: int = 1
     seed: int = 0
 
 
@@ -109,6 +125,8 @@ class CondDiffusionPreset:
     epochs: int = 10
     lr: float = 2e-4
     eval_samples: int = 10
+    mesh_devices: int = 0
+    mesh_model: int = 1
     seed: int = 0
 
 
@@ -126,6 +144,8 @@ class TimeMMDPreset:
     batch_size: int = 48
     epochs: int = 50
     lr: float = 1e-3
+    mesh_devices: int = 0
+    mesh_model: int = 1
     seed: int = 0
 
 

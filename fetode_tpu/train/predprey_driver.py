@@ -136,6 +136,16 @@ class PredPreyRun:
     # the tuple, e.g. (1, 2, 3) pins the orbit phase at every cycle the
     # extrapolation test covers instead of only the k-th.
     anchor_cycles: tuple = ()
+    # Durable checkpoint/resume (orbax; completes the reference's broken
+    # persistence, predator_prey.py:123-124): save (train state, best
+    # snapshot, budget stage) every `ckpt_every` epochs into `ckpt_dir`;
+    # `resume=True` restores the latest checkpoint and continues the run
+    # EXACTLY (full-batch Adam is deterministic, state.step carries the
+    # cosine schedule, and the jitter_anchor host RNG is fast-forwarded),
+    # so a preempted 10k-epoch run loses at most ckpt_every epochs.
+    ckpt_dir: str = ""
+    ckpt_every: int = 0          # epochs between saves (0 = off)
+    resume: bool = False
     # Fit-window time base.  The reference trains against targets sampled
     # on t = linspace(0, tf, N_t) (spacing tf/(N_t-1) = 0.10072) but hands
     # the solver t_learn = linspace(0, tf_learn, N_t_train) (spacing
@@ -372,12 +382,37 @@ def train_predprey(run: PredPreyRun, log=print):
             return jnp.mean((pred[1:] - target_train) ** 2)
 
     stage = 0
-    scanner = make_scanner(budgets[stage])
-    probe = make_probe(budgets[stage]) if len(budgets) > 1 else None
-
     history = {"train": [], "test": [], "val": [], "epoch": [], "budget": []}
     best = (jnp.inf, state.params)
     n_calls = run.epochs // run.epochs_per_call
+
+    ckpt = None
+    start_call = 0
+    if run.ckpt_dir and (run.ckpt_every > 0 or run.resume):
+        from fetode_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(run.ckpt_dir, max_to_keep=3)
+        if run.resume and ckpt.latest_step() is not None:
+            template = {"state": state, "best_crit": jnp.asarray(jnp.inf),
+                        "best_params": state.params,
+                        "stage": jnp.asarray(0, jnp.int32)}
+            saved = ckpt.restore(template=template)
+            state = saved["state"]
+            best = (float(saved["best_crit"]), saved["best_params"])
+            stage = int(saved["stage"])
+            start_call = int(state.step) // run.epochs_per_call
+            if log is not None:
+                log(f"[ckpt] resumed at epoch {int(state.step)} "
+                    f"(budget stage {stage}) from {run.ckpt_dir}")
+            if resample_fit is not None:
+                # fast-forward the host jitter RNG so the resumed run
+                # draws the same collocation grids the unbroken run would
+                for _ in range(start_call):
+                    resample_fit()
+
+    scanner = make_scanner(budgets[stage])
+    probe = (make_probe(budgets[stage])
+             if len(budgets) > 1 and stage < len(budgets) - 1 else None)
     # Warm compiles OUTSIDE the timed window (results discarded; `state`
     # is an immutable pytree, so training is unaffected).  Driver-reported
     # epochs/sec previously folded 1-5 min of XLA/Mosaic compile into
@@ -389,7 +424,7 @@ def train_predprey(run: PredPreyRun, log=print):
     del warm
 
     t0 = time.perf_counter()
-    for call in range(n_calls):
+    for call in range(start_call, n_calls):
         if resample_fit is not None:
             fit_args = resample_fit()
         state, losses = scanner(state, *fit_args)
@@ -429,6 +464,14 @@ def train_predprey(run: PredPreyRun, log=print):
                 if log is not None:
                     log(f"[budget] escalating max_steps -> {budgets[stage]} "
                         f"(probe used {int(used)}, success={bool(ok)})")
+        if ckpt is not None and run.ckpt_every > 0:
+            epochs_done = (call + 1) * run.epochs_per_call
+            if epochs_done % run.ckpt_every == 0 or call == n_calls - 1:
+                ckpt.save(epochs_done,
+                          {"state": state,
+                           "best_crit": jnp.asarray(best[0]),
+                           "best_params": best[1],
+                           "stage": jnp.asarray(stage, jnp.int32)})
         if log is not None:
             msg = f"epoch {history['epoch'][-1]:6d}  train {tr:.6f}"
             if run.val_points > 0:
@@ -437,5 +480,6 @@ def train_predprey(run: PredPreyRun, log=print):
                 msg += f"  test {history['test'][-1]:.6f}"
             log(msg)
     history["wall_seconds"] = time.perf_counter() - t0
-    history["epochs_per_sec"] = run.epochs / history["wall_seconds"]
+    epochs_run = max(1, (n_calls - start_call) * run.epochs_per_call)
+    history["epochs_per_sec"] = epochs_run / history["wall_seconds"]
     return best[1], history

@@ -101,6 +101,86 @@ def test_config_presets_and_overrides():
         make_config("predprey", {"bogus": 1})
 
 
+def test_roofline_xla_cost_and_classification():
+    """Roofline accounting (VERDICT r2 item 2): XLA-counted FLOPs/bytes and
+    the compute/bandwidth/latency classification against published chip
+    peaks."""
+    import types
+
+    from fetode_tpu.diag.roofline import roofline_row, xla_cost
+
+    f = jax.jit(lambda a, b: a @ b)
+    x = jnp.ones((64, 64), jnp.float32)
+    c = xla_cost(f, x, x)
+    assert c["flops"] >= 0.9 * 2 * 64 ** 3      # ~2*M*N*K
+    assert c["bytes"] > 0
+
+    v5e = types.SimpleNamespace(device_kind="TPU v5 lite")
+    r = roofline_row(1e9, 1e3, 150_000, device=v5e)   # 150 TFLOP/s, hot MXU
+    assert r["bound"] == "compute" and r["pct_peak_flops"] > 50
+    r = roofline_row(1e3, 1e9, 500, device=v5e)       # 500 GB/s streaming
+    assert r["bound"] == "bandwidth" and r["pct_peak_hbm"] > 50
+    r = roofline_row(1e6, 1e6, 10, device=v5e)        # tiny serial solve
+    assert r["bound"].startswith("latency")
+    r = roofline_row(1e6, 1e6, 10)                    # CPU: no peak table
+    assert "unknown" in r["bound"]
+
+
+def test_predprey_ckpt_kill_restart(tmp_path):
+    """Durable checkpoint/resume (VERDICT r2 item 4): a run killed mid-way
+    and resumed from its latest orbax checkpoint continues the EXACT loss
+    curve of an unbroken run — full-batch Adam is deterministic and
+    state.step carries the cosine schedule.  (The reference's persistence
+    is a dead `load_ckpt` call, predator_prey.py:123-124.)"""
+    from fetode_tpu.models.predprey import PredPreyNODE, PredPreyTask
+    from fetode_tpu.train.predprey_driver import PredPreyRun, train_predprey
+
+    task = PredPreyTask(n_train=12, tf_learn=1.2, tf=2.4, n_t=24)
+    spec = PredPreyNODE.kanfet(layers_hidden=(2, 4, 2), ferro_num_basis=2,
+                               method="rk4")
+    kw = dict(task=task, spec=spec, epochs=40, epochs_per_call=10,
+              eval_every_call=False)
+
+    _, h_ref = train_predprey(PredPreyRun(**kw), log=None)
+
+    ck = str(tmp_path / "ckpt")
+    calls = {"n": 0}
+
+    def killer(msg):
+        calls["n"] += 1
+        if calls["n"] >= 2:                  # after 20 epochs (ckpt saved)
+            raise KeyboardInterrupt
+
+    with pytest.raises(KeyboardInterrupt):
+        train_predprey(PredPreyRun(**kw, ckpt_dir=ck, ckpt_every=10),
+                       log=killer)
+
+    logs = []
+    _, h_res = train_predprey(
+        PredPreyRun(**kw, ckpt_dir=ck, ckpt_every=10, resume=True),
+        log=logs.append)
+    assert any("[ckpt] resumed at epoch 20" in m for m in logs)
+    assert h_res["epoch"] == [30, 40]
+    np.testing.assert_allclose(h_res["train"], h_ref["train"][2:],
+                               rtol=1e-7)
+
+
+def test_cli_predprey_resume_flags(tmp_path):
+    """--ckpt-dir/--ckpt-every/--resume ride the typed-override CLI."""
+    from fetode_tpu.cli import main
+
+    ck = str(tmp_path / "ckpt")
+    args = ["predprey", "--out-dir", str(tmp_path),
+            "--epochs-per-call", "10",
+            "--method", "rk4", "--layers", "2,4,2",
+            "--ferro-num-basis", "2",
+            "--ckpt-dir", ck, "--ckpt-every", "10"]
+    main(args + ["--epochs", "20"])
+    assert os.path.exists(ck)
+    result = main(args + ["--epochs", "40", "--resume"])
+    assert "epochs_per_sec" in result
+
+
 def test_cli_predprey_smoke(tmp_path):
     from fetode_tpu.cli import main
 
@@ -157,6 +237,29 @@ def test_cli_ecg_smoke(tmp_path, monkeypatch):
                    "--model", "digital_rnn", "--latent-dim", "8",
                    "--batch-size", "16"])
     assert "best_test_acc" in result
+
+
+def test_cli_ecg_all_models_comparison(tmp_path, monkeypatch):
+    """`ecg --model all --plots` trains the reference comparison set (+ a
+    noisy ferro variant) in one invocation and emits the multi-model chart
+    and accuracy table (train_ecg.py:1418-1463, compare_noise_ecg.py:
+    1250-1452) — VERDICT r2 item 5."""
+    from fetode_tpu.cli import main
+
+    monkeypatch.setenv("FETODE_DATA_DIR", str(tmp_path))
+    result = main(["ecg", "--out-dir", str(tmp_path), "--plots",
+                   "--epochs", "2", "--model", "all", "--latent-dim", "8",
+                   "--num-basis", "2", "--batch-size", "16"])
+    table = result["best_test_acc"]
+    assert set(table) == {"digital_rnn", "fepa_rnn", "kanfet_node",
+                          "kanfet_mlp_node", "kanfet_mlp_node_noisy"}
+    assert os.path.exists(tmp_path / "model_comparison.png")
+    assert os.path.exists(tmp_path / "accuracy_table.json")
+    # clean + noisy hysteresis panels for the noisy ferro variant
+    noisy_dir = tmp_path / "kanfet_mlp_node_noisy" / "hysteresis"
+    pngs = os.listdir(noisy_dir)
+    assert any("noisy" in p for p in pngs)
+    assert any("noisy" not in p for p in pngs)
 
 
 def test_cli_ecg_ferro_plots_emit_hysteresis_pngs(tmp_path, monkeypatch):
