@@ -84,8 +84,10 @@ def test_batched_forward(setup):
 
 def test_pallas_mode_dispatch(monkeypatch):
     """predict(solver_mode="pallas") routes narrow stacks to the sublane
-    adjoint kernel and wide stacks (in*out*K > 4096, past the sublane
-    layout's VMEM limit) to the wide-layout kernel."""
+    adjoint kernel and stacks with in*out*K >= WIDE_DISPATCH_FERRO_N to
+    the wide-layout kernel (threshold measured by
+    benchmarks/run_wide_kernel_sweep.py: the wide layout wins from
+    N = 512 up and is the only layout that compiles past ~8k)."""
     import fetode_tpu.ops.pallas_adjoint as pa
     import fetode_tpu.ops.pallas_kanfet_wide as pw
 
@@ -103,10 +105,13 @@ def test_pallas_mode_dispatch(monkeypatch):
     x0 = jnp.asarray([1.0, 1.0], jnp.float32)
     narrow = PredPreyNODE.kanfet(solver_mode="pallas")
     pp_predict(predprey_init(jax.random.PRNGKey(0), narrow), narrow, x0, ts)
+    # exactly AT the boundary (2*32*8 = 512 = WIDE_DISPATCH_FERRO_N)
+    at = PredPreyNODE.kanfet(layers_hidden=(2, 32, 2), solver_mode="pallas")
+    pp_predict(predprey_init(jax.random.PRNGKey(0), at), at, x0, ts)
     wide = PredPreyNODE.kanfet(layers_hidden=(2, 64, 64, 2),
                                solver_mode="pallas")
     pp_predict(predprey_init(jax.random.PRNGKey(0), wide), wide, x0, ts)
-    assert calls == ["sublane", "wide"]
+    assert calls == ["sublane", "wide", "wide"]
 
 
 def test_multilayer_stack_trains():
