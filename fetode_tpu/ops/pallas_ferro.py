@@ -21,12 +21,17 @@ via `jax.vjp` under recompute — bitwise-identical gradients to the
 reference path by construction.
 
 Measured on TPU v5e (B=256, in=64, out=128, K=12, f32, 50-iteration
-amortised): XLA-fused jnp path 857 us/op, this kernel 1237 us/op — XLA's
-automatic fusion already sits near the HBM roofline for this
-elementwise-dominated op (the (B, in, out, K) branch-state read+write is
-the hard floor), so the jnp path remains the default and this kernel is
-kept as a parity-tested alternative.  The real lever is shrinking the
-state traffic itself (bf16 branch state — see ``FerroState`` docs).
+amortised): XLA-fused jnp path 857 us/op, this kernel 1237 us/op — the
+jnp path remains the default and this kernel is kept as a parity-tested
+alternative.  Quantified (round 3, ``bench.py: bench_ferro_op`` →
+``extra.roofline``): the jnp path achieves **167 GB/s = 20.4% of v5e HBM
+peak** at arithmetic intensity 3.3 (≪ ridge 240 → bandwidth-bound, per
+XLA's own cost model of the compiled program).  So "near the roofline"
+was an overstatement: the op is bandwidth-CLASSIFIED but has ~5×
+bandwidth headroom eaten by elementwise-chain latency on the
+(B, in, out, K) branch state; this kernel did not recover it either.
+The real lever is shrinking the state traffic itself (bf16 branch state
+— see ``FerroState`` docs, measured +49% on the ECG scan path).
 """
 
 from __future__ import annotations
