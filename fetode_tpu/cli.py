@@ -27,11 +27,15 @@ def _parse(argv):
                         "override a registered TPU plugin; this sets the "
                         "jax_platforms config flag before device init)")
     p.add_argument("--mesh", default=None,
-                   help="train data-parallel over a device mesh: "
+                   help="train over a ('data','model') device mesh: "
                         "'data=N[,model=M]', a device count, or 'auto' "
-                        "(all devices). Supported by the ecg/ett/"
-                        "cond_diffusion/timemmd workloads (predprey uses "
-                        "--shooting-devices / the traj driver)")
+                        "(all devices, pure DP). The batch axis shards "
+                        "over 'data'; model>1 additionally column-shards "
+                        "output features of every weight matrix over "
+                        "'model' (GSPMD collectives). Supported by the "
+                        "ecg/ett/cond_diffusion/timemmd workloads "
+                        "(predprey uses --shooting-devices / the traj "
+                        "driver)")
     args, unknown = p.parse_known_args(argv)
     overrides = {}
     key = None

@@ -5,6 +5,7 @@ from fetode_tpu.parallel.mesh import (  # noqa: F401
     kan_param_specs,
     kan_stack_param_specs,
     make_mesh,
+    model_param_specs,
     parse_mesh_flag,
     replicated,
     shard_batch_leaves,

@@ -126,6 +126,33 @@ def kan_stack_param_specs(params: list) -> list:
     return [kan_param_specs(layer) for layer in params]
 
 
+def model_param_specs(tree, mesh: Mesh, *, axis: str = "model"):
+    """Generic tensor-parallel placement for an arbitrary parameter tree:
+    shard axis 0 (output features, by this repo's (out, in) weight
+    convention) of every float leaf with ndim >= 2 whose leading dim
+    divides the model-axis size; replicate everything else (biases,
+    grids, scalars, int buffers).
+
+    This is the column-parallel (Megatron-style) rule expressed as
+    shardings only — GSPMD derives the all-gathers/reduce-scatters the
+    downstream matmuls imply, so it is semantics-preserving for ANY
+    model, including ones (ferro (in, out, K) tables) where axis 0 is an
+    input axis and the compiler ends up partitioning a contraction
+    instead.  Use ``kan_param_specs`` when the tree is a KAN stack and
+    the hand-tuned layout matters.
+    """
+    n = mesh.shape[axis]
+
+    def spec(x):
+        if (n > 1 and hasattr(x, "ndim") and x.ndim >= 2
+                and np.issubdtype(x.dtype, np.floating)
+                and x.shape[0] % n == 0):
+            return P(axis, *([None] * (x.ndim - 1)))
+        return P()
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
 def shard_params(params, mesh: Mesh, specs=None):
     """Place a parameter pytree on the mesh (replicated by default)."""
     if specs is None:

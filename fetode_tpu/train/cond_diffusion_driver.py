@@ -49,8 +49,9 @@ class CondDiffusionRun:
     eval_samples: int = 10
     log_every: int = 1
     val_every_step: bool = False
-    # >0: data-parallel over a ('data','model') mesh — params replicated,
-    # minibatch axis sharded over 'data', grad psum via GSPMD.
+    # >0: train over a ('data','model') mesh — minibatch axis sharded
+    # over 'data' (grad psum via GSPMD); mesh_model>1 column-shards
+    # output features over 'model' (model_param_specs), else replicate.
     mesh_devices: int = 0
     mesh_model: int = 1
 
@@ -72,11 +73,15 @@ def train_conditional_diffusion(spec: CondDenoiserSpec, past_fut,
 
     _shard = lambda tree, batch_axis: tree       # noqa: E731
     if run.mesh_devices:
-        from fetode_tpu.parallel import (make_mesh, shard_batch_leaves,
-                                         shard_params)
+        from fetode_tpu.parallel import (make_mesh, model_param_specs,
+                                         shard_batch_leaves, shard_params)
 
         mesh = make_mesh(run.mesh_devices, model=run.mesh_model)
-        params = shard_params(params, mesh)      # replicated
+        # model=1: replicate; model>1: column-parallel output-feature
+        # sharding (GSPMD inserts the implied collectives).
+        specs = (model_param_specs(params, mesh)
+                 if run.mesh_model > 1 else None)
+        params = shard_params(params, mesh, specs)
         _shard = lambda tree, batch_axis: shard_batch_leaves(  # noqa: E731
             tree, mesh, batch_axis=batch_axis)
 

@@ -53,9 +53,11 @@ class ECGRun:
     # once per block instead of per epoch (the reference tracks per
     # epoch, so 1 is the parity default).
     epochs_per_call: int = 1
-    # >0: train data-parallel over a ('data','model') mesh of this many
-    # devices — params replicated, the minibatch axis sharded over 'data',
-    # grad psum inserted by GSPMD.  batch_size must divide the data axis.
+    # >0: train over a ('data','model') mesh of this many devices —
+    # minibatch axis sharded over 'data' (grad psum via GSPMD);
+    # mesh_model>1 column-shards output features over 'model'
+    # (model_param_specs), else params replicate.  batch_size must
+    # divide the data axis.
     mesh_devices: int = 0
     mesh_model: int = 1
 
@@ -91,11 +93,15 @@ def train_ecg_model(
     mesh = None
     _shard = lambda tree, batch_axis: tree       # noqa: E731
     if run.mesh_devices:
-        from fetode_tpu.parallel import (make_mesh, shard_batch_leaves,
-                                         shard_params)
+        from fetode_tpu.parallel import (make_mesh, model_param_specs,
+                                         shard_batch_leaves, shard_params)
 
         mesh = make_mesh(run.mesh_devices, model=run.mesh_model)
-        params = shard_params(params, mesh)      # replicated
+        # model=1: replicate; model>1: column-parallel output-feature
+        # sharding (GSPMD inserts the implied collectives).
+        specs = (model_param_specs(params, mesh)
+                 if run.mesh_model > 1 else None)
+        params = shard_params(params, mesh, specs)
         _shard = lambda tree, batch_axis: shard_batch_leaves(  # noqa: E731
             tree, mesh, batch_axis=batch_axis)
 

@@ -53,23 +53,27 @@ class ForecastRun:
     seed: int = 0
     log_every: int = 10
     eval_samples: int = 10   # diffusion eval averaging
-    # >0: data-parallel over a ('data','model') mesh — params replicated,
-    # minibatch axis sharded over 'data', grad psum via GSPMD.
+    # >0: train over a ('data','model') mesh — minibatch axis sharded
+    # over 'data' (grad psum via GSPMD); mesh_model>1 column-shards
+    # output features over 'model' (model_param_specs), else replicate.
     mesh_devices: int = 0
     mesh_model: int = 1
 
 
 def _mesh_tools(run: "ForecastRun", params):
-    """(params', shard_fn) — replicate params on the run's mesh and return
-    a ``(tree, batch_axis) -> tree`` placement helper (identity when the
+    """(params', shard_fn) — place params on the run's mesh (replicated,
+    or column-sharded over 'model' when mesh_model > 1) and return a
+    ``(tree, batch_axis) -> tree`` placement helper (identity when the
     mesh is off)."""
     if not run.mesh_devices:
         return params, lambda tree, batch_axis: tree
-    from fetode_tpu.parallel import (make_mesh, shard_batch_leaves,
-                                     shard_params)
+    from fetode_tpu.parallel import (make_mesh, model_param_specs,
+                                     shard_batch_leaves, shard_params)
 
     mesh = make_mesh(run.mesh_devices, model=run.mesh_model)
-    return (shard_params(params, mesh),
+    # model=1: replicate; model>1: column-parallel output-feature sharding.
+    specs = model_param_specs(params, mesh) if run.mesh_model > 1 else None
+    return (shard_params(params, mesh, specs),
             lambda tree, batch_axis: shard_batch_leaves(
                 tree, mesh, batch_axis=batch_axis))
 

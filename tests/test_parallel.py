@@ -289,6 +289,54 @@ def test_ecg_driver_mesh_pallas_sharded(rng):
                                rtol=1e-3, atol=1e-5)
 
 
+def test_model_param_specs_rule():
+    """Column-parallel placement rule: float leaves with ndim>=2 and a
+    divisible leading dim shard over 'model'; everything else replicates."""
+    from jax.sharding import PartitionSpec as P
+
+    from fetode_tpu.parallel import make_mesh, model_param_specs
+
+    mesh = make_mesh(8, model=2)
+    tree = {"w": jnp.zeros((16, 3)),          # -> P('model', None)
+            "w3": jnp.zeros((4, 2, 5)),       # -> P('model', None, None)
+            "bias": jnp.zeros((16,)),         # 1-D -> replicated
+            "odd": jnp.zeros((3, 3)),         # 3 % 2 != 0 -> replicated
+            "ints": jnp.zeros((8, 2), jnp.int32)}   # non-float -> replicated
+    specs = model_param_specs(tree, mesh)
+    assert specs["w"] == P("model", None)
+    assert specs["w3"] == P("model", None, None)
+    assert specs["bias"] == P()
+    assert specs["odd"] == P()
+    assert specs["ints"] == P()
+    # model=1 mesh: everything replicates (no 1-way "sharding" noise)
+    specs1 = model_param_specs(tree, make_mesh(8, model=1))
+    assert all(s == P() for s in jax.tree_util.tree_leaves(
+        specs1, is_leaf=lambda x: isinstance(x, P)))
+
+
+def test_ecg_driver_mesh_tensor_parallel_matches_single_device(rng):
+    """dp x tp (data=4, model=2): column-parallel param placement must
+    leave the training math unchanged (GSPMD inserts the collectives) —
+    loss curve matches the single-device run."""
+    from fetode_tpu.models import ecg as M
+    from fetode_tpu.train.ecg_driver import ECGRun, train_ecg_model
+
+    data = _tiny_ecg_data(rng)
+    spec = M.KanFetMLPNODESpec(T=12, latent_dim=8, ode_hidden=8, num_basis=2,
+                               max_steps=8)
+    init_fn = lambda k: M.kanfet_mlp_node_init(k, spec)
+    apply_fn = lambda p, x, key: M.kanfet_mlp_node_apply(p, spec, x)
+
+    kw = dict(epochs=2, batch_size=8, log_every=100)
+    _, h_ref = train_ecg_model(init_fn, apply_fn, data,
+                               ECGRun(**kw), log=None)
+    _, h_tp = train_ecg_model(init_fn, apply_fn, data,
+                              ECGRun(**kw, mesh_devices=8, mesh_model=2),
+                              log=None)
+    np.testing.assert_allclose(h_tp["loss"], h_ref["loss"],
+                               rtol=2e-4, atol=1e-6)
+
+
 def test_forecast_driver_mesh_matches_single_device(rng):
     from fetode_tpu.models.forecasting import LatentODEForecasterSpec
     from fetode_tpu.train.forecast_driver import (ForecastRun,
