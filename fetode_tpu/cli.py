@@ -33,7 +33,7 @@ def _parse(argv):
                         "over 'data'; model>1 additionally column-shards "
                         "output features of every weight matrix over "
                         "'model' (GSPMD collectives). Supported by the "
-                        "ecg/ett/cond_diffusion/timemmd workloads "
+                        "ecg/ett/cond_diffusion/timemmd/mnist workloads "
                         "(predprey uses --shooting-devices / the traj "
                         "driver)")
     args, unknown = p.parse_known_args(argv)
@@ -181,7 +181,9 @@ def run_ecg(cfg, out_dir, plots, data=None):
     run = ECGRun(epochs=cfg.epochs, batch_size=cfg.batch_size, lr=cfg.lr,
                  weight_decay=cfg.weight_decay, seed=cfg.seed,
                  epochs_per_call=cfg.epochs_per_call,
-                 mesh_devices=cfg.mesh_devices, mesh_model=cfg.mesh_model)
+                 mesh_devices=cfg.mesh_devices, mesh_model=cfg.mesh_model,
+                 ckpt_dir=cfg.ckpt_dir, ckpt_every=cfg.ckpt_every,
+                 resume=cfg.resume)
     params, hist = train_ecg_model(init_fn, apply_fn, data, run)
     if plots:
         from fetode_tpu.diag.plots import plot_losses
@@ -273,7 +275,8 @@ def run_ett(cfg, out_dir, plots):
                       lr=cfg.lr, weight_decay=cfg.weight_decay,
                       eval_samples=cfg.eval_samples, seed=cfg.seed,
                       mesh_devices=cfg.mesh_devices,
-                      mesh_model=cfg.mesh_model)
+                      mesh_model=cfg.mesh_model, ckpt_dir=cfg.ckpt_dir,
+                      ckpt_every=cfg.ckpt_every, resume=cfg.resume)
     if cfg.model == "point":
         spec = LatentODEForecasterSpec(num_features=X.shape[1],
                                        context_len=cfg.context_len,
@@ -332,7 +335,9 @@ def run_cond_diffusion(cfg, out_dir, plots):
                            batch_size=cfg.batch_size, lr=cfg.lr,
                            eval_samples=cfg.eval_samples, seed=cfg.seed,
                            mesh_devices=cfg.mesh_devices,
-                           mesh_model=cfg.mesh_model)
+                           mesh_model=cfg.mesh_model,
+                           ckpt_dir=cfg.ckpt_dir,
+                           ckpt_every=cfg.ckpt_every, resume=cfg.resume)
     params, hist = train_conditional_diffusion(spec, data, run)
     # Sampling-based test forecast MSE/MAE (the reference's
     # evaluate_forecast_samples protocol, kan_diffusion_ett.py:764-865);
@@ -382,7 +387,8 @@ def run_timemmd(cfg, out_dir, plots):
     run = ForecastRun(context_len=cfg.context_len, pred_len=cfg.pred_len,
                       batch_size=cfg.batch_size, epochs=cfg.epochs, lr=cfg.lr,
                       seed=cfg.seed, mesh_devices=cfg.mesh_devices,
-                      mesh_model=cfg.mesh_model)
+                      mesh_model=cfg.mesh_model, ckpt_dir=cfg.ckpt_dir,
+                      ckpt_every=cfg.ckpt_every, resume=cfg.resume)
     spec = DiffusionForecasterSpec(num_features=X.shape[1],
                                    context_len=cfg.context_len,
                                    pred_len=cfg.pred_len, encoder="kanrnn")
@@ -455,6 +461,17 @@ def run_mnist(cfg, out_dir, plots):
                         steps=cfg.kuramoto_steps, dt=cfg.dt,
                         num_basis=cfg.num_basis)
     params = kuramoto_init(jax.random.PRNGKey(cfg.seed), spec)
+    _shard = lambda tree, batch_axis: tree       # noqa: E731
+    if cfg.mesh_devices:
+        from fetode_tpu.parallel import (make_mesh, model_param_specs,
+                                         shard_batch_leaves, shard_params)
+
+        mesh = make_mesh(cfg.mesh_devices, model=cfg.mesh_model)
+        specs = (model_param_specs(params, mesh)
+                 if cfg.mesh_model > 1 else None)
+        params = shard_params(params, mesh, specs)
+        _shard = lambda tree, batch_axis: shard_batch_leaves(  # noqa: E731
+            tree, mesh, batch_axis=batch_axis)
     tx = make_optimizer(cfg.lr, kind="adamw", weight_decay=1e-4, params=params)
     state = init_state(params, tx)
 
@@ -477,7 +494,8 @@ def run_mnist(cfg, out_dir, plots):
         idx = rng.permutation(len(x_train))[: (len(x_train) // bs) * bs]
         bx = x_train[idx].reshape(-1, bs, *x_train.shape[1:])
         by = y_train[idx].reshape(-1, bs)
-        state, losses = epoch_fn(state, (jnp.asarray(bx), jnp.asarray(by)))
+        state, losses = epoch_fn(
+            state, _shard((jnp.asarray(bx), jnp.asarray(by)), 1))
         acc = eval_acc(state.params)
         print(f"epoch {ep}: loss {float(losses.mean()):.4f} test acc {acc:.4f}")
     if acc is None:  # epochs == 0: report untrained accuracy

@@ -86,6 +86,11 @@ class ECGPreset:
     # Data-parallel mesh (set via --mesh or directly): 0 = single device.
     mesh_devices: int = 0
     mesh_model: int = 1
+    # Durable checkpoint/resume: --ckpt-dir D --ckpt-every N [--resume]
+    # (train/checkpoint.py: DurableLoop; exact-curve resume).
+    ckpt_dir: str = ""
+    ckpt_every: int = 0
+    resume: bool = False
     seed: int = 0
 
 
@@ -108,6 +113,11 @@ class ETTPreset:
     eval_samples: int = 10
     mesh_devices: int = 0
     mesh_model: int = 1
+    # Durable checkpoint/resume: --ckpt-dir D --ckpt-every N [--resume]
+    # (train/checkpoint.py: DurableLoop; exact-curve resume).
+    ckpt_dir: str = ""
+    ckpt_every: int = 0
+    resume: bool = False
     seed: int = 0
 
 
@@ -127,6 +137,11 @@ class CondDiffusionPreset:
     eval_samples: int = 10
     mesh_devices: int = 0
     mesh_model: int = 1
+    # Durable checkpoint/resume: --ckpt-dir D --ckpt-every N [--resume]
+    # (train/checkpoint.py: DurableLoop; exact-curve resume).
+    ckpt_dir: str = ""
+    ckpt_every: int = 0
+    resume: bool = False
     seed: int = 0
 
 
@@ -146,6 +161,11 @@ class TimeMMDPreset:
     lr: float = 1e-3
     mesh_devices: int = 0
     mesh_model: int = 1
+    # Durable checkpoint/resume: --ckpt-dir D --ckpt-every N [--resume]
+    # (train/checkpoint.py: DurableLoop; exact-curve resume).
+    ckpt_dir: str = ""
+    ckpt_every: int = 0
+    resume: bool = False
     seed: int = 0
 
 
@@ -160,6 +180,8 @@ class MNISTPreset:
     epochs: int = 3
     batch_size: int = 128
     lr: float = 1e-3
+    mesh_devices: int = 0
+    mesh_model: int = 1
     seed: int = 0
 
 

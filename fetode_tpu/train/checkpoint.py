@@ -79,3 +79,67 @@ class BestTracker:
         import jax.numpy as jnp
         return jax.tree_util.tree_map(lambda ref, b: jnp.asarray(b),
                                       like, self.best_tree)
+
+
+class DurableLoop:
+    """Periodic-save + exact-resume harness for epoch-style drivers.
+
+    Every generic driver (ECG, point/diffusion forecast, conditional
+    diffusion) derives its per-epoch randomness either statelessly
+    (``fold_in(base, ep)``, shuffles seeded ``run.seed + ep``) or from a
+    key chain that rides the payload, so checkpointing
+    ``(train state, best snapshot, key, epoch)`` makes a resumed run
+    continue the EXACT curve of an unbroken one.  (The reference's
+    persistence is a dead ``load_ckpt`` call,
+    ``predator_prey.py:123-124``.)
+
+    Usage::
+
+        dl = DurableLoop(run.ckpt_dir, run.ckpt_every, run.resume)
+        start_ep, saved = dl.restore(state=state, best_crit=np.inf,
+                                     best_params=state.params, key=key)
+        if saved is not None:
+            state, key = saved["state"], saved["key"]
+            best = (float(saved["best_crit"]), saved["best_params"])
+        for ep in range(start_ep, run.epochs):
+            ...
+            dl.save(ep + 1, state=state, best_crit=best[0],
+                    best_params=best[1], key=key, last=ep + 1 == run.epochs)
+    """
+
+    def __init__(self, ckpt_dir: str = "", ckpt_every: int = 0,
+                 resume: bool = False, max_to_keep: int = 3):
+        self.every = int(ckpt_every)
+        self.resume = bool(resume)
+        self.enabled = bool(ckpt_dir) and (self.every > 0 or self.resume)
+        self.manager = (CheckpointManager(ckpt_dir, max_to_keep=max_to_keep)
+                        if self.enabled else None)
+
+    def _payload(self, state, best_crit, best_params, key):
+        import jax.numpy as jnp
+
+        payload = {"state": state, "best_crit": jnp.asarray(float(best_crit)),
+                   "best_params": best_params}
+        if key is not None:
+            payload["key"] = key
+        return payload
+
+    def restore(self, *, state, best_crit, best_params, key=None):
+        """(start_epoch, saved_payload | None); arguments are templates."""
+        if not (self.enabled and self.resume):
+            return 0, None
+        step = self.manager.latest_step()
+        if step is None:
+            return 0, None
+        saved = self.manager.restore(
+            step, template=self._payload(state, best_crit, best_params, key))
+        return int(step), saved
+
+    def save(self, epoch: int, *, state, best_crit, best_params, key=None,
+             last: bool = False) -> bool:
+        if self.manager is None or self.every <= 0:
+            return False
+        if epoch % self.every and not last:
+            return False
+        return self.manager.save(
+            epoch, self._payload(state, best_crit, best_params, key))

@@ -54,6 +54,12 @@ class CondDiffusionRun:
     # output features over 'model' (model_param_specs), else replicate.
     mesh_devices: int = 0
     mesh_model: int = 1
+    # Durable checkpoint/resume (train/checkpoint.py: DurableLoop): save
+    # (train state, best snapshot, key chain) every ckpt_every epochs;
+    # resume=True continues the exact curve from the latest checkpoint.
+    ckpt_dir: str = ""
+    ckpt_every: int = 0
+    resume: bool = False
 
 
 def _batches(x, y, batch_size, seed):
@@ -105,9 +111,21 @@ def train_conditional_diffusion(spec: CondDenoiserSpec, past_fut,
 
     pv, fv = (_shard(jnp.asarray(a), 0) for a in past_fut["val"])
     best = (np.inf, state.params)
+
+    from fetode_tpu.train.checkpoint import DurableLoop
+
+    dl = DurableLoop(run.ckpt_dir, run.ckpt_every, run.resume)
+    start_ep, saved = dl.restore(state=state, best_crit=np.inf,
+                                 best_params=state.params, key=key)
+    if saved is not None:
+        state, key = saved["state"], saved["key"]
+        best = (float(saved["best_crit"]), saved["best_params"])
+        if log is not None:
+            log(f"[ckpt] resumed at epoch {start_ep} from {run.ckpt_dir}")
+
     history = {"train": [], "val": []}
     t0 = time.perf_counter()
-    for ep in range(run.epochs):
+    for ep in range(start_ep, run.epochs):
         key, k_ep, k_v = jax.random.split(key, 3)
         bp, bf = _batches(*past_fut["train"], run.batch_size, run.seed + ep)
         bk = jax.random.split(k_ep, bp.shape[0])
@@ -118,6 +136,8 @@ def train_conditional_diffusion(spec: CondDenoiserSpec, past_fut,
         history["val"].append(vl)
         if vl < best[0]:
             best = (vl, state.params)
+        dl.save(ep + 1, state=state, best_crit=best[0], best_params=best[1],
+                key=key, last=ep + 1 == run.epochs)
         if log is not None and ep % run.log_every == 0:
             log(f"epoch {ep:3d} | eps-loss {history['train'][-1]:.5f} | "
                 f"val {vl:.5f}")

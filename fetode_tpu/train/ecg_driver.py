@@ -60,6 +60,13 @@ class ECGRun:
     # divide the data axis.
     mesh_devices: int = 0
     mesh_model: int = 1
+    # Durable checkpoint/resume (train/checkpoint.py: DurableLoop).  All
+    # per-epoch randomness is stateless (fold_in(base, ep), shuffles
+    # seeded run.seed + ep), so (state, best) is the whole resume payload
+    # and the resumed curve is exact.
+    ckpt_dir: str = ""
+    ckpt_every: int = 0
+    resume: bool = False
 
 
 def cross_entropy(logits, labels):
@@ -138,6 +145,18 @@ def train_ecg_model(
 
     history = {"loss": [], "train_acc": [], "test_acc": []}
     best = (-1.0, state.params)
+
+    from fetode_tpu.train.checkpoint import DurableLoop
+
+    dl = DurableLoop(run.ckpt_dir, run.ckpt_every, run.resume)
+    start_ep, saved = dl.restore(state=state, best_crit=-1.0,
+                                 best_params=state.params)
+    if saved is not None:
+        state = saved["state"]
+        best = (float(saved["best_crit"]), saved["best_params"])
+        if log is not None:
+            log(f"[ckpt] resumed at epoch {start_ep} from {run.ckpt_dir}")
+
     t0 = time.perf_counter()
     E = max(1, run.epochs_per_call)
     # NOTE: if epochs % E != 0 the ragged tail block has a different
@@ -145,7 +164,7 @@ def train_ecg_model(
     # pick epochs_per_call | epochs for benchmark runs.
     block_fn = (make_minibatch_epochs_scanner(loss_fn, tx, keyed=True)
                 if E > 1 else None)
-    for ep in range(0, run.epochs, E):
+    for ep in range(start_ep, run.epochs, E):
         n = min(E, run.epochs - ep)
         if n == 1:
             bx, by = batch_iterator(x_train, y_train, run.batch_size,
@@ -169,6 +188,8 @@ def train_ecg_model(
         history["test_acc"].append(te_acc)
         if te_acc > best[0]:
             best = (te_acc, state.params)
+        dl.save(ep + n, state=state, best_crit=best[0], best_params=best[1],
+                last=ep + n >= run.epochs)
         # Log whenever the block [ep, ep+n) crossed a log_every boundary
         # (reduces to ep % log_every == 0 at n == 1), labelled with the
         # last epoch the metrics were evaluated after.

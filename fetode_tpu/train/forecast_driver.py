@@ -58,6 +58,12 @@ class ForecastRun:
     # output features over 'model' (model_param_specs), else replicate.
     mesh_devices: int = 0
     mesh_model: int = 1
+    # Durable checkpoint/resume (train/checkpoint.py: DurableLoop): save
+    # (train state, best snapshot[, key chain]) every ckpt_every epochs;
+    # resume=True continues the exact curve from the latest checkpoint.
+    ckpt_dir: str = ""
+    ckpt_every: int = 0
+    resume: bool = False
 
 
 def _mesh_tools(run: "ForecastRun", params):
@@ -134,9 +140,21 @@ def train_point_forecaster(spec: LatentODEForecasterSpec, X, y,
     xt, yt = map(jnp.asarray, windows["test"])
 
     best = (np.inf, state.params)
+
+    from fetode_tpu.train.checkpoint import DurableLoop
+
+    dl = DurableLoop(run.ckpt_dir, run.ckpt_every, run.resume)
+    start_ep, saved = dl.restore(state=state, best_crit=np.inf,
+                                 best_params=state.params)
+    if saved is not None:
+        state = saved["state"]
+        best = (float(saved["best_crit"]), saved["best_params"])
+        if log is not None:
+            log(f"[ckpt] resumed at epoch {start_ep} from {run.ckpt_dir}")
+
     history = {"train": [], "val": []}
     t0 = time.perf_counter()
-    for ep in range(run.epochs):
+    for ep in range(start_ep, run.epochs):
         bx, by = window_batches(*windows["train"], run.batch_size,
                                 seed=run.seed + ep)
         state, losses = epoch_fn(
@@ -146,6 +164,8 @@ def train_point_forecaster(spec: LatentODEForecasterSpec, X, y,
         history["val"].append(vl)
         if vl < best[0]:
             best = (vl, state.params)
+        dl.save(ep + 1, state=state, best_crit=best[0], best_params=best[1],
+                last=ep + 1 == run.epochs)
         if log is not None and (ep % run.log_every == 0 or ep == run.epochs - 1):
             log(f"epoch {ep:3d} | train {history['train'][-1]:.5f} | val {vl:.5f}")
 
@@ -195,9 +215,21 @@ def train_diffusion_forecaster(spec: DiffusionForecasterSpec, X, y,
     xt, yt = map(jnp.asarray, windows["test"])
 
     best = (np.inf, state.params)
+
+    from fetode_tpu.train.checkpoint import DurableLoop
+
+    dl = DurableLoop(run.ckpt_dir, run.ckpt_every, run.resume)
+    start_ep, saved = dl.restore(state=state, best_crit=np.inf,
+                                 best_params=state.params, key=key)
+    if saved is not None:
+        state, key = saved["state"], saved["key"]
+        best = (float(saved["best_crit"]), saved["best_params"])
+        if log is not None:
+            log(f"[ckpt] resumed at epoch {start_ep} from {run.ckpt_dir}")
+
     history = {"train": [], "val": []}
     t0 = time.perf_counter()
-    for ep in range(run.epochs):
+    for ep in range(start_ep, run.epochs):
         key, k_ep, k_ev = jax.random.split(key, 3)
         bx, by = window_batches(*windows["train"], run.batch_size,
                                 seed=run.seed + ep)
@@ -209,6 +241,8 @@ def train_diffusion_forecaster(spec: DiffusionForecasterSpec, X, y,
         history["val"].append(vl)
         if vl < best[0]:
             best = (vl, state.params)
+        dl.save(ep + 1, state=state, best_crit=best[0], best_params=best[1],
+                key=key, last=ep + 1 == run.epochs)
         if log is not None and (ep % run.log_every == 0 or ep == run.epochs - 1):
             log(f"epoch {ep:3d} | eps-loss {history['train'][-1]:.5f} | "
                 f"val sample-MSE {vl:.5f}")

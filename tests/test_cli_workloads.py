@@ -43,6 +43,11 @@ def test_cli_mnist_synthetic(tmp_path):
               "--kuramoto-steps", "2", "--batch-size", "64",
               "--num-basis", "3"])
     assert 0.0 <= r["test_acc"] <= 1.0
+    # --mesh rides the same runner (virtual-8 data-parallel)
+    r8 = main(["mnist", "--out-dir", str(tmp_path), "--epochs", "1",
+               "--kuramoto-steps", "2", "--batch-size", "64",
+               "--num-basis", "3", "--mesh", "8"])
+    np.testing.assert_allclose(r8["test_acc"], r["test_acc"])
     # boolean-style flag parsing (regression for the silent-drop bug)
     from fetode_tpu.cli import _parse
 

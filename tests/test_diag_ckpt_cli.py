@@ -165,6 +165,102 @@ def test_predprey_ckpt_kill_restart(tmp_path):
                                rtol=1e-7)
 
 
+def test_cond_diffusion_ckpt_kill_restart(tmp_path, rng):
+    """DurableLoop generalizes exact resume beyond the flagship: the
+    conditional-diffusion trainer (stateful PRNG key chain rides the
+    checkpoint) killed mid-run and resumed continues the EXACT loss
+    curve of an unbroken run."""
+    from fetode_tpu.models.cond_diffusion import make_denoiser_spec
+    from fetode_tpu.train.cond_diffusion_driver import (
+        CondDiffusionRun, train_conditional_diffusion)
+
+    def windows(n):
+        return (rng.normal(size=(n, 12, 3)).astype(np.float32),
+                rng.normal(size=(n, 4, 3)).astype(np.float32))
+
+    data = {"train": windows(32), "val": windows(16), "test": windows(16)}
+    spec = make_denoiser_spec("mlp", d_in=3, pred_len=4, seq_len=12,
+                              cond_dim=16, time_dim=16, hidden=32)
+    kw = dict(seq_len=12, pred_len=4, diff_T=8, epochs=6, batch_size=16,
+              log_every=1)
+
+    _, h_ref = train_conditional_diffusion(spec, data,
+                                           CondDiffusionRun(**kw), log=None)
+
+    ck = str(tmp_path / "ck")
+    calls = {"n": 0}
+
+    def killer(msg):
+        calls["n"] += 1
+        if calls["n"] >= 4:                     # after epoch 3 (ckpt at 2)
+            raise KeyboardInterrupt
+
+    with pytest.raises(KeyboardInterrupt):
+        train_conditional_diffusion(
+            spec, data, CondDiffusionRun(**kw, ckpt_dir=ck, ckpt_every=2),
+            log=killer)
+
+    logs = []
+    _, h_res = train_conditional_diffusion(
+        spec, data, CondDiffusionRun(**kw, ckpt_dir=ck, ckpt_every=2,
+                                     resume=True),
+        log=logs.append)
+    assert any("[ckpt] resumed at epoch" in m for m in logs)
+    n_res = len(h_res["train"])
+    np.testing.assert_allclose(h_res["train"], h_ref["train"][-n_res:],
+                               rtol=1e-6)
+    np.testing.assert_allclose(h_res["val"], h_ref["val"][-n_res:],
+                               rtol=1e-6)
+
+
+def test_ecg_and_forecast_ckpt_resume(tmp_path, rng):
+    """ECG (stateless per-epoch keys) and point-forecast trainers resume
+    the exact curve via the same DurableLoop payload."""
+    from fetode_tpu.models import ecg as M
+    from fetode_tpu.models.forecasting import LatentODEForecasterSpec
+    from fetode_tpu.train.ecg_driver import ECGRun, train_ecg_model
+    from fetode_tpu.train.forecast_driver import (ForecastRun,
+                                                  train_point_forecaster)
+
+    x_tr = rng.normal(size=(16, 12)).astype(np.float32)
+    y_tr = (rng.random(16) > 0.5).astype(np.int32)
+    data = (x_tr, y_tr, x_tr[:8], y_tr[:8])
+    spec = M.KanFetMLPNODESpec(T=12, latent_dim=8, ode_hidden=8,
+                               num_basis=2, max_steps=8)
+    init_fn = lambda k: M.kanfet_mlp_node_init(k, spec)
+    apply_fn = lambda p, x, key: M.kanfet_mlp_node_apply(p, spec, x)
+    kw = dict(epochs=4, batch_size=8, log_every=100)
+    _, h_ref = train_ecg_model(init_fn, apply_fn, data, ECGRun(**kw),
+                               log=None)
+    ck = str(tmp_path / "ecg")
+    _, _ = train_ecg_model(init_fn, apply_fn, data,
+                           ECGRun(**dict(kw, epochs=2), ckpt_dir=ck,
+                                  ckpt_every=2), log=None)
+    _, h_res = train_ecg_model(init_fn, apply_fn, data,
+                               ECGRun(**kw, ckpt_dir=ck, ckpt_every=2,
+                                      resume=True), log=None)
+    np.testing.assert_allclose(h_res["loss"], h_ref["loss"][2:], rtol=1e-6)
+
+    X = rng.normal(size=(200, 3)).astype(np.float32)
+    y = rng.normal(size=200).astype(np.float32)
+    fspec = LatentODEForecasterSpec(num_features=3, context_len=12,
+                                    pred_len=4, latent_dim=8)
+    fkw = dict(context_len=12, pred_len=4, batch_size=16, epochs=4,
+               log_every=100)
+    _, f_ref = train_point_forecaster(fspec, X, y, ForecastRun(**fkw),
+                                      log=None)
+    fck = str(tmp_path / "fc")
+    train_point_forecaster(fspec, X, y,
+                           ForecastRun(**dict(fkw, epochs=2), ckpt_dir=fck,
+                                       ckpt_every=2), log=None)
+    _, f_res = train_point_forecaster(
+        fspec, X, y, ForecastRun(**fkw, ckpt_dir=fck, ckpt_every=2,
+                                 resume=True), log=None)
+    np.testing.assert_allclose(f_res["train"], f_ref["train"][2:], rtol=1e-6)
+    np.testing.assert_allclose(f_res["test_mse"], f_ref["test_mse"],
+                               rtol=1e-5)
+
+
 def test_cli_predprey_resume_flags(tmp_path):
     """--ckpt-dir/--ckpt-every/--resume ride the typed-override CLI."""
     from fetode_tpu.cli import main
