@@ -19,7 +19,7 @@ def _parse(argv):
     p = argparse.ArgumentParser(prog="fetode_tpu", description=__doc__)
     p.add_argument("workload", choices=["predprey", "ecg", "ett",
                                         "cond_diffusion", "timemmd", "mnist",
-                                        "symbolic"])
+                                        "symbolic", "serve"])
     p.add_argument("--out-dir", default="runs/latest")
     p.add_argument("--plots", action="store_true", help="save plot artifacts")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
@@ -503,6 +503,114 @@ def run_mnist(cfg, out_dir, plots):
     return {"test_acc": acc}
 
 
+def _serve_ckpt_params(ckpt_dir):
+    """best_params from a DurableLoop checkpoint (raw orbax restore)."""
+    from fetode_tpu.train.checkpoint import CheckpointManager
+
+    saved = CheckpointManager(ckpt_dir).restore()
+    for keys in (("best_params",), ("state", "params")):
+        node = saved
+        try:
+            for k in keys:
+                node = node[k]
+            return node
+        except (KeyError, TypeError):
+            continue
+    raise ValueError(f"no params found in checkpoint at {ckpt_dir!r} "
+                     f"(top-level keys: {list(saved)})")
+
+
+def run_serve(cfg, out_dir, plots):
+    """Export a serving bundle (AOT executables per bucket) and bench it."""
+    import jax
+    import jax.numpy as jnp
+
+    from fetode_tpu.serve import export_servable, load_servable, serve_bench
+
+    key = jax.random.PRNGKey(cfg.seed)
+    if cfg.source == "ecg":
+        from fetode_tpu.models import ecg as M
+
+        # Serving is no-grad: a checkpointed scan compiles pathologically
+        # slowly without a grad (solvers/dopri5.py) — use while-mode
+        # dopri5 unless the pallas whole-solve kernel is requested.
+        mode = "while" if cfg.solver_mode == "scan" else cfg.solver_mode
+        spec = M.KanFetNODESpec(T=cfg.t_len, latent_dim=cfg.latent_dim,
+                                num_basis=cfg.num_basis, rtol=cfg.rtol,
+                                atol=cfg.atol, field=cfg.field,
+                                solver_mode=mode)
+        params = M.kanfet_node_init(key, spec)
+        fn = lambda p, x: M.kanfet_node_apply(p, spec, x)
+        example = jnp.zeros((1, cfg.t_len), jnp.float32)
+    elif cfg.source == "ett":
+        from fetode_tpu.models.forecasting import (
+            LatentODEForecasterSpec,
+            latent_ode_forecast,
+            latent_ode_forecaster_init,
+        )
+
+        spec = LatentODEForecasterSpec(num_features=cfg.num_features,
+                                       context_len=cfg.context_len,
+                                       pred_len=cfg.pred_len,
+                                       latent_dim=cfg.latent_dim)
+        params = latent_ode_forecaster_init(key, spec)
+        fn = lambda p, x: latent_ode_forecast(p, spec, x)
+        example = jnp.zeros((1, cfg.context_len, cfg.num_features),
+                            jnp.float32)
+    elif cfg.source == "predprey":
+        from fetode_tpu.models.predprey import (PredPreyNODE, predict,
+                                                predprey_init)
+
+        spec = PredPreyNODE.kanfet()
+        params = predprey_init(key, spec)
+        ts = jnp.linspace(0.0, cfg.horizon, cfg.n_points, dtype=jnp.float32)
+        if cfg.solver_mode == "pallas":
+            # Batched whole-solve inference kernel (ops/pallas_node.py,
+            # 140.8k traj/s at B=2048) — the production serving path.
+            from fetode_tpu.ops.pallas_node import pallas_kanfet_solve
+
+            fn = lambda p, x0s: pallas_kanfet_solve(
+                p, spec.kan, x0s, ts, rtol=spec.rtol, atol=spec.atol,
+                max_steps=spec.max_steps)
+        else:
+            # No-grad eval: while-mode dopri5 (a no-grad CHECKPOINTED
+            # scan compiles pathologically slowly; see solvers/dopri5.py).
+            eval_spec = spec._replace(solver_mode="while")
+            fn = lambda p, x0s: jax.vmap(
+                lambda x0: predict(p, eval_spec, x0, ts))(x0s)
+        example = jnp.ones((1, 2), jnp.float32)
+    else:
+        raise ValueError(f"unknown serve source {cfg.source!r}")
+
+    if cfg.ckpt_dir:
+        params = _serve_ckpt_params(cfg.ckpt_dir)
+        print(f"serving params restored from {cfg.ckpt_dir}")
+
+    bundle = cfg.bundle_dir or os.path.join(out_dir, "bundle")
+    import time
+
+    t0 = time.perf_counter()
+    meta = export_servable(bundle, fn, params, example, buckets=cfg.buckets)
+    export_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sv = load_servable(bundle)
+    load_s = time.perf_counter() - t0
+    print(f"bundle {bundle}: export {export_s:.1f}s (compiles included), "
+          f"load {load_s:.2f}s (compile-free)")
+
+    bench = []
+    for b in meta["buckets"]:
+        x = jnp.broadcast_to(example, (b,) + example.shape[1:])
+        row = serve_bench(sv, x, iters=cfg.iters)
+        print(f"  bucket {b}: p50 {row['p50_ms']:.2f} ms  "
+              f"p99 {row['p99_ms']:.2f} ms  "
+              f"{row['throughput_sps']:.0f} samples/s")
+        bench.append(row)
+    return {"source": cfg.source, "bundle": bundle,
+            "buckets": meta["buckets"], "export_s": export_s,
+            "load_s": load_s, "bench": bench}
+
+
 RUNNERS = {
     "predprey": run_predprey,
     "ecg": run_ecg,
@@ -511,6 +619,7 @@ RUNNERS = {
     "timemmd": run_timemmd,
     "mnist": run_mnist,
     "symbolic": run_symbolic,
+    "serve": run_serve,
 }
 
 

@@ -199,6 +199,47 @@ class SymbolicPreset:
     seed: int = 0
 
 
+@dataclass
+class ServePreset:
+    """AOT export + serving bench (fetode_tpu/serve.py).
+
+    The reference has no deployment story (its scripts end at matplotlib
+    figures); this workload exports a trained (or fresh) model as a
+    compile-free serving bundle — one serialized TPU executable per batch
+    bucket, params, portable StableHLO fallback — then loads it back and
+    measures serving latency/throughput per bucket."""
+
+    # What to serve: "ecg" (KanFet-NODE classifier logits), "ett"
+    # (latent-ODE point forecaster), "predprey" (batched trajectory solve).
+    source: str = "ecg"
+    # Batch buckets to export (one executable each; requests pad up /
+    # chunk down at serve time). Must divide the data-axis device count.
+    buckets: tuple = (8, 64, 256)
+    # Where the bundle goes ("" = <out-dir>/bundle).
+    bundle_dir: str = ""
+    # Optional DurableLoop checkpoint dir: serve its best_params instead
+    # of a fresh init (e.g. the --ckpt-dir of a prior ecg/ett run).
+    ckpt_dir: str = ""
+    # Latency bench: timed iterations per bucket.
+    iters: int = 30
+    # ECG source hypers (must match the training run when ckpt_dir is set)
+    t_len: int = 96
+    latent_dim: int = 64
+    num_basis: int = 12
+    field: str = "plain"
+    solver_mode: str = "scan"
+    rtol: float = 1e-2
+    atol: float = 1e-3
+    # ETT source hypers
+    num_features: int = 7
+    context_len: int = 96
+    pred_len: int = 8
+    # predprey source: serve trajectories over linspace(0, horizon, n_points)
+    horizon: float = 14.0
+    n_points: int = 140
+    seed: int = 0
+
+
 PRESETS = {
     "predprey": PredPreyPreset,
     "ecg": ECGPreset,
@@ -207,6 +248,7 @@ PRESETS = {
     "timemmd": TimeMMDPreset,
     "mnist": MNISTPreset,
     "symbolic": SymbolicPreset,
+    "serve": ServePreset,
 }
 
 

@@ -62,3 +62,23 @@ def test_cli_timemmd_multimodal_synthetic(tmp_path):
               "--multimodal", "true", "--context-len", "10", "--pred-len", "3",
               "--text-embed-dim", "3", "--epochs", "1", "--batch-size", "32"])
     assert np.isfinite(r["test_mse"])
+
+
+def test_cli_serve_ett(tmp_path):
+    r = main(["serve", "--out-dir", str(tmp_path), "--source", "ett",
+              "--buckets", "8", "--iters", "2", "--context-len", "12",
+              "--pred-len", "4", "--latent-dim", "8", "--num-features", "3"])
+    assert r["buckets"] == [8]
+    assert os.path.exists(os.path.join(r["bundle"], "meta.json"))
+    assert r["bench"][0]["p50_ms"] > 0
+
+
+def test_cli_serve_predprey_from_ckpt(tmp_path):
+    ck = str(tmp_path / "ck")
+    main(["predprey", "--out-dir", str(tmp_path / "train"), "--epochs", "20",
+          "--epochs-per-call", "10", "--max-steps", "16", "--method", "rk4",
+          "--ckpt-dir", ck, "--ckpt-every", "10"])
+    r = main(["serve", "--out-dir", str(tmp_path / "serve"),
+              "--source", "predprey", "--buckets", "8", "--iters", "2",
+              "--n-points", "5", "--ckpt-dir", ck])
+    assert r["source"] == "predprey" and r["bench"][0]["throughput_sps"] > 0

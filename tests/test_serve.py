@@ -1,0 +1,137 @@
+"""AOT executable cache + serving bundle (fetode_tpu/serve.py).
+
+Runs on the virtual 8-device CPU mesh (conftest): every exported
+executable here is a real 8-device data-parallel program, so bucket
+divisibility, sharded reload, and padding/chunking are all exercised
+the way a TPU pod slice would see them.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fetode_tpu.nn.mlp import MLPConfig, mlp_apply, mlp_init
+from fetode_tpu.serve import (
+    AotCache,
+    export_servable,
+    fingerprint,
+    load_servable,
+    serve_bench,
+    tree_signature,
+)
+
+CFG = MLPConfig((6, 16, 3), activation="tanh")
+
+
+def _model(key):
+    params = mlp_init(key, CFG, jnp.float32)
+
+    def fn(p, x):
+        return mlp_apply(p, CFG, x)
+
+    return params, fn
+
+
+def test_tree_signature_shape_sensitivity(key):
+    a = (jnp.ones((4, 6)),)
+    assert tree_signature(a) == tree_signature((jnp.zeros((4, 6)),))
+    assert tree_signature(a) != tree_signature((jnp.ones((8, 6)),))
+    assert tree_signature(a) != tree_signature((jnp.ones((4, 6), jnp.bfloat16),))
+
+
+def test_aot_cache_miss_then_hit(tmp_path, key):
+    params, fn = _model(key)
+    x = jnp.ones((8, 6))
+    cache = AotCache(str(tmp_path))
+    jitted = jax.jit(fn)
+    c1, hit1 = cache.get_or_compile("mlp_fwd", jitted, params, x)
+    assert not hit1
+    c2, hit2 = cache.get_or_compile("mlp_fwd", jitted, params, x)
+    assert hit2
+    np.testing.assert_array_equal(np.asarray(c1(params, x)),
+                                  np.asarray(c2(params, x)))
+    # a different batch shape is a different program
+    _, hit3 = cache.get_or_compile("mlp_fwd", jitted, params, jnp.ones((16, 6)))
+    assert not hit3
+
+
+def test_aot_cache_fingerprint_mismatch_is_miss(tmp_path, key, monkeypatch):
+    params, fn = _model(key)
+    x = jnp.ones((8, 6))
+    cache = AotCache(str(tmp_path))
+    cache.get_or_compile("f", jax.jit(fn), params, x)
+    import fetode_tpu.serve as serve_mod
+
+    real = fingerprint()
+    monkeypatch.setattr(serve_mod, "fingerprint",
+                        lambda: dict(real, jax="0.0.0"))
+    assert cache.load("f", tree_signature((params, x))) is None
+
+
+def test_aot_cache_corrupt_file_is_miss(tmp_path, key):
+    params, fn = _model(key)
+    x = jnp.ones((8, 6))
+    cache = AotCache(str(tmp_path))
+    cache.get_or_compile("f", jax.jit(fn), params, x)
+    (path,) = [os.path.join(str(tmp_path), p) for p in os.listdir(str(tmp_path))]
+    with open(path, "wb") as f:
+        f.write(b"not a pickle")
+    assert cache.load("f", tree_signature((params, x))) is None
+
+
+def test_servable_roundtrip_padding_chunking(tmp_path, key):
+    params, fn = _model(key)
+    bundle = str(tmp_path / "bundle")
+    meta = export_servable(bundle, fn, params, jnp.ones((1, 6)),
+                           buckets=(8, 16))
+    assert meta["buckets"] == [8, 16]
+    assert json.load(open(os.path.join(bundle, "meta.json")))["sample_shape"] == [6]
+
+    sv = load_servable(bundle)
+    rng = np.random.default_rng(0)
+    for B in (3, 8, 11, 16, 37):  # pad, exact, pad-up, exact-max, chunked
+        x = jnp.asarray(rng.normal(size=(B, 6)), jnp.float32)
+        got = np.asarray(sv.predict(x))
+        want = np.asarray(fn(params, x))
+        assert got.shape == want.shape == (B, 3)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_servable_exec_load_requires_fingerprint(tmp_path, key, monkeypatch):
+    params, fn = _model(key)
+    bundle = str(tmp_path / "bundle")
+    export_servable(bundle, fn, params, jnp.ones((1, 6)), buckets=(8,))
+    import fetode_tpu.serve as serve_mod
+
+    real = fingerprint()
+    monkeypatch.setattr(serve_mod, "fingerprint",
+                        lambda: dict(real, jax="0.0.0"))
+    with pytest.raises(RuntimeError, match="allow_portable"):
+        load_servable(bundle)
+    # the StableHLO fallback compiles and serves correctly
+    sv = load_servable(bundle, allow_portable=True)
+    x = jnp.ones((5, 6), jnp.float32)
+    np.testing.assert_allclose(np.asarray(sv.predict(x)),
+                               np.asarray(fn(params, x)),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_bucket_divisibility_enforced(tmp_path, key):
+    params, fn = _model(key)
+    with pytest.raises(ValueError, match="not divisible"):
+        export_servable(str(tmp_path / "b"), fn, params, jnp.ones((1, 6)),
+                        buckets=(3,))  # 8 CPU devices on the data axis
+
+
+def test_serve_bench_contract(tmp_path, key):
+    params, fn = _model(key)
+    bundle = str(tmp_path / "bundle")
+    export_servable(bundle, fn, params, jnp.ones((1, 6)), buckets=(8,))
+    sv = load_servable(bundle)
+    row = serve_bench(sv, jnp.ones((8, 6)), iters=5, warmup=1)
+    assert row["batch"] == 8 and row["p99_ms"] >= row["p50_ms"] > 0
+    assert row["throughput_sps"] > 0
