@@ -70,7 +70,7 @@ def run_predprey(cfg, out_dir, plots):
                       shooting_points=cfg.shooting_points,
                       shooting_devices=cfg.shooting_devices,
                       ckpt_dir=cfg.ckpt_dir, ckpt_every=cfg.ckpt_every,
-                      resume=cfg.resume)
+                      resume=cfg.resume, aot_cache=cfg.aot_cache)
     logger = MetricLogger(os.path.join(out_dir, "metrics.jsonl"))
     params, hist = train_predprey(run, log=lambda m: print(m, flush=True))
     for i, (ep, tr) in enumerate(zip(hist["epoch"], hist["train"])):

@@ -50,6 +50,10 @@ class PredPreyPreset:
     ckpt_dir: str = ""
     ckpt_every: int = 0
     resume: bool = False
+    # AOT executable cache dir ("" = off): repeat runs of the same config
+    # load the epoch-scanner grad program from disk instead of paying the
+    # per-process Mosaic remote compile (serve.py: AotCache/CachedJit).
+    aot_cache: str = ""
     seed: int = 0
 
 

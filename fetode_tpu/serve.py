@@ -95,6 +95,29 @@ def _exec_device_ids(compiled) -> list:
     return ids or [d.id for d in jax.devices()]
 
 
+def _compile_fresh(jitted, *args):
+    """Compile for serialization: persistent-compilation-cache DISABLED.
+
+    An executable that came out of jax's persistent compilation cache as
+    an XLA:CPU AOT hit serializes to a payload whose reload is missing
+    runtime symbols ("Buffer Definition Event: Function wrapped_convert
+    not found" on the first result fetch).  Serialization needs a real
+    compile there, so the cache is switched off around it — on CPU only:
+    TPU executables are hermetic device binaries and round-trip fine from
+    a cache hit (measured: the reloaded bundle serves bit-identically),
+    and disabling the cache would put the full multi-minute compile back
+    into every repeat export.
+    """
+    if jax.devices()[0].platform != "cpu":
+        return jitted.lower(*args).compile()
+    enabled = jax.config.jax_enable_compilation_cache
+    try:
+        jax.config.update("jax_enable_compilation_cache", False)
+        return jitted.lower(*args).compile()
+    finally:
+        jax.config.update("jax_enable_compilation_cache", enabled)
+
+
 def _deserialize(bundle):
     from jax.experimental.serialize_executable import deserialize_and_load
 
@@ -180,10 +203,62 @@ class AotCache:
         sig = tree_signature(args)
         compiled = self.load(name, sig)
         if compiled is not None:
-            return compiled, True
-        compiled = jitted.lower(*args).compile()
+            # Trust nothing: a deserialized executable can fail only at
+            # result materialization (XLA:CPU resolves runtime thunks BY
+            # NAME in a process-global registry — "Function
+            # transpose_copy_fusion.24 not found" — which is reliable in
+            # a fresh process but flaky when reloading into a process
+            # that has compiled other programs).  Execute-and-fetch once;
+            # on failure fall through to a fresh compile.
+            try:
+                jax.device_get(compiled(*args))
+                return compiled, True
+            except Exception:
+                pass
+        compiled = _compile_fresh(jitted, *args)
         self.store(name, sig, compiled)
         return compiled, False
+
+
+def config_hash(*parts) -> str:
+    """Short stable hash of program-identity parts (specs, hypers).
+
+    Use to build :class:`CachedJit` names: ``repr`` of NamedTuple specs
+    and scalar hypers is deterministic within a process and across runs.
+    """
+    return hashlib.sha256("|".join(repr(p) for p in parts).encode()
+                          ).hexdigest()[:12]
+
+
+class CachedJit:
+    """AOT-cached wrapper around ONE jitted callable with fixed arg shapes.
+
+    First call resolves through :meth:`AotCache.get_or_compile` (disk hit
+    = no compile at all — the lever that turns the multi-minute
+    per-process Mosaic remote compile of a training step into a sub-second
+    load); later calls go straight to the compiled executable, so new
+    argument *values* are fine but new shapes/dtypes are not.
+
+    ``name`` MUST encode every piece of program identity that is not
+    visible in the argument shapes/dtypes (model spec, hyper-parameters
+    closed over by the jitted function): the cache key is
+    ``(name, tree_signature(args))`` and a stale name would load a
+    silently wrong program.  Drivers hash the relevant config into it —
+    see ``train/predprey_driver.py: make_scanner``.
+    """
+
+    def __init__(self, cache: AotCache, name: str, jitted):
+        self.cache = cache
+        self.name = name
+        self.jitted = jitted
+        self.compiled = None
+        self.cache_hit: Optional[bool] = None
+
+    def __call__(self, *args):
+        if self.compiled is None:
+            self.compiled, self.cache_hit = self.cache.get_or_compile(
+                self.name, self.jitted, *args)
+        return self.compiled(*args)
 
 
 # ------------------------------------------------------------ servables
@@ -254,12 +329,13 @@ def export_servable(
     for b in buckets:
         xb = jnp.broadcast_to(jnp.asarray(sample), (b,) + sample.shape[1:])
         xb = jax.device_put(xb, data_sh)
-        compiled = jitted.lower(params_dev, xb).compile()
+        compiled = _compile_fresh(jitted, params_dev, xb)
         payload, in_tree, out_tree = serialize(compiled)
+        bundle = {"payload": payload, "in_tree": in_tree,
+                  "out_tree": out_tree,
+                  "device_ids": _exec_device_ids(compiled)}
         with open(os.path.join(path, f"exec_b{b}.aot"), "wb") as f:
-            pickle.dump({"payload": payload, "in_tree": in_tree,
-                         "out_tree": out_tree,
-                         "device_ids": _exec_device_ids(compiled)}, f)
+            pickle.dump(bundle, f)
         if b == buckets[-1]:
             import jax.export as jex
 
@@ -341,11 +417,31 @@ def load_servable(path: str, *, allow_portable: bool = False) -> Servable:
 
     if meta["fingerprint"] == fingerprint():
         executables = {}
+        rep = replicated(mesh)
+        params_dev = jax.device_put(params, rep)
+        data_sh = batch_sharding(mesh)
         for b in meta["buckets"]:
             with open(os.path.join(path, f"exec_b{b}.aot"), "rb") as f:
                 bundle = pickle.load(f)
-            executables[b] = _deserialize(bundle)
-        return Servable(path, meta, executables, params, mesh)
+            try:
+                ex = _deserialize(bundle)
+                # Smoke-run before trusting: XLA:CPU resolves runtime
+                # thunks by name in a process-global registry, which is
+                # reliable in a fresh serving process but can miss when
+                # reloading into a process that compiled other programs.
+                zeros = jax.device_put(
+                    jnp.zeros((b,) + tuple(meta["sample_shape"]),
+                              meta["sample_dtype"]), data_sh)
+                jax.device_get(ex(params_dev, zeros))
+                executables[b] = ex
+            except Exception:
+                continue
+        if executables:
+            return Servable(path, meta, executables, params, mesh)
+        # every executable failed its smoke run: fall through to the
+        # portable StableHLO module (one compile on load) so the bundle
+        # still serves
+        allow_portable = True
 
     if not allow_portable:
         raise RuntimeError(

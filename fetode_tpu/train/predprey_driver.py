@@ -146,6 +146,12 @@ class PredPreyRun:
     ckpt_dir: str = ""
     ckpt_every: int = 0          # epochs between saves (0 = off)
     resume: bool = False
+    # AOT executable cache dir ("" = off): the epoch-scanner grad program
+    # is loaded from / stored to disk as a serialized compiled executable
+    # (serve.py: AotCache), skipping the per-process Mosaic remote
+    # compile entirely on repeat runs of the same config (the axon path
+    # bypasses jax's persistent HLO cache — docs/ROADMAP.md).
+    aot_cache: str = ""
     # Fit-window time base.  The reference trains against targets sampled
     # on t = linspace(0, tf, N_t) (spacing tf/(N_t-1) = 0.10072) but hands
     # the solver t_learn = linspace(0, tf_learn, N_t_train) (spacing
@@ -341,7 +347,18 @@ def train_predprey(run: PredPreyRun, log=print):
                 loss = loss + run.reg_lambda * kan_regularization(p, spec.kan)
             return loss
 
-        return make_epoch_scanner(loss_fn, tx, run.epochs_per_call)
+        scan_fn = make_epoch_scanner(loss_fn, tx, run.epochs_per_call)
+        if run.aot_cache:
+            from fetode_tpu.serve import AotCache, CachedJit, config_hash
+
+            # The name must pin everything the program closes over that
+            # the argument shapes cannot see (CachedJit contract).
+            tag = config_hash(spec_b, spec_shoot, run.lr, run.epochs,
+                              run.epochs_per_call, run.reg_lambda,
+                              run.grad_clip, run.cosine_decay)
+            scan_fn = CachedJit(AotCache(run.aot_cache),
+                                f"predprey-epoch-{tag}", scan_fn)
+        return scan_fn
 
     def make_probe(budget):
         pspec = spec._replace(max_steps=budget, solver_mode="while")
