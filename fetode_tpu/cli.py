@@ -178,12 +178,23 @@ def run_ecg(cfg, out_dir, plots, data=None):
     else:
         raise SystemExit(f"unknown ECG model {cfg.model!r}")
 
+    aot_tag = ""
+    if cfg.aot_cache:
+        # Program identity for the opaque-apply_fn trainer: the full
+        # preset minus fields that do not shape the compiled program.
+        import dataclasses as _dc
+
+        from fetode_tpu.serve import config_hash
+
+        aot_tag = config_hash(_dc.replace(cfg, ckpt_dir="", ckpt_every=0,
+                                          resume=False, aot_cache=""))
     run = ECGRun(epochs=cfg.epochs, batch_size=cfg.batch_size, lr=cfg.lr,
                  weight_decay=cfg.weight_decay, seed=cfg.seed,
                  epochs_per_call=cfg.epochs_per_call,
                  mesh_devices=cfg.mesh_devices, mesh_model=cfg.mesh_model,
                  ckpt_dir=cfg.ckpt_dir, ckpt_every=cfg.ckpt_every,
-                 resume=cfg.resume)
+                 resume=cfg.resume, aot_cache=cfg.aot_cache,
+                 aot_tag=aot_tag)
     params, hist = train_ecg_model(init_fn, apply_fn, data, run)
     if plots:
         from fetode_tpu.diag.plots import plot_losses
@@ -276,7 +287,8 @@ def run_ett(cfg, out_dir, plots):
                       eval_samples=cfg.eval_samples, seed=cfg.seed,
                       mesh_devices=cfg.mesh_devices,
                       mesh_model=cfg.mesh_model, ckpt_dir=cfg.ckpt_dir,
-                      ckpt_every=cfg.ckpt_every, resume=cfg.resume)
+                      ckpt_every=cfg.ckpt_every, resume=cfg.resume,
+                      aot_cache=cfg.aot_cache)
     if cfg.model == "point":
         spec = LatentODEForecasterSpec(num_features=X.shape[1],
                                        context_len=cfg.context_len,
@@ -337,7 +349,8 @@ def run_cond_diffusion(cfg, out_dir, plots):
                            mesh_devices=cfg.mesh_devices,
                            mesh_model=cfg.mesh_model,
                            ckpt_dir=cfg.ckpt_dir,
-                           ckpt_every=cfg.ckpt_every, resume=cfg.resume)
+                           ckpt_every=cfg.ckpt_every, resume=cfg.resume,
+                           aot_cache=cfg.aot_cache)
     params, hist = train_conditional_diffusion(spec, data, run)
     # Sampling-based test forecast MSE/MAE (the reference's
     # evaluate_forecast_samples protocol, kan_diffusion_ett.py:764-865);
@@ -388,7 +401,8 @@ def run_timemmd(cfg, out_dir, plots):
                       batch_size=cfg.batch_size, epochs=cfg.epochs, lr=cfg.lr,
                       seed=cfg.seed, mesh_devices=cfg.mesh_devices,
                       mesh_model=cfg.mesh_model, ckpt_dir=cfg.ckpt_dir,
-                      ckpt_every=cfg.ckpt_every, resume=cfg.resume)
+                      ckpt_every=cfg.ckpt_every, resume=cfg.resume,
+                      aot_cache=cfg.aot_cache)
     spec = DiffusionForecasterSpec(num_features=X.shape[1],
                                    context_len=cfg.context_len,
                                    pred_len=cfg.pred_len, encoder="kanrnn")

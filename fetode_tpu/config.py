@@ -95,6 +95,10 @@ class ECGPreset:
     ckpt_dir: str = ""
     ckpt_every: int = 0
     resume: bool = False
+    # AOT executable cache dir ('' = off): repeat runs of the same
+    # config load the epoch program from disk instead of recompiling
+    # (serve.py: AotCache).
+    aot_cache: str = ""
     seed: int = 0
 
 
@@ -122,6 +126,10 @@ class ETTPreset:
     ckpt_dir: str = ""
     ckpt_every: int = 0
     resume: bool = False
+    # AOT executable cache dir ('' = off): repeat runs of the same
+    # config load the epoch program from disk instead of recompiling
+    # (serve.py: AotCache).
+    aot_cache: str = ""
     seed: int = 0
 
 
@@ -146,6 +154,10 @@ class CondDiffusionPreset:
     ckpt_dir: str = ""
     ckpt_every: int = 0
     resume: bool = False
+    # AOT executable cache dir ('' = off): repeat runs of the same
+    # config load the epoch program from disk instead of recompiling
+    # (serve.py: AotCache).
+    aot_cache: str = ""
     seed: int = 0
 
 
@@ -170,6 +182,10 @@ class TimeMMDPreset:
     ckpt_dir: str = ""
     ckpt_every: int = 0
     resume: bool = False
+    # AOT executable cache dir ('' = off): repeat runs of the same
+    # config load the epoch program from disk instead of recompiling
+    # (serve.py: AotCache).
+    aot_cache: str = ""
     seed: int = 0
 
 

@@ -60,6 +60,10 @@ class CondDiffusionRun:
     ckpt_dir: str = ""
     ckpt_every: int = 0
     resume: bool = False
+    # AOT executable cache dir ("" = off): repeat runs of the same
+    # (spec, hypers) load the epoch program from disk instead of
+    # recompiling (serve.py: AotCache; the denoiser spec is hashed in).
+    aot_cache: str = ""
 
 
 def _batches(x, y, batch_size, seed):
@@ -104,6 +108,14 @@ def train_conditional_diffusion(spec: CondDenoiserSpec, past_fut,
         return jnp.mean((eps_hat - eps) ** 2)
 
     epoch_fn = make_minibatch_epoch(loss_fn, tx)
+    if run.aot_cache:
+        from fetode_tpu.serve import AotCache, CachedJit, config_hash
+
+        tag = config_hash(spec, run.diff_T, run.beta_start, run.beta_end,
+                          run.lr, run.weight_decay, run.grad_clip,
+                          run.mesh_devices, run.mesh_model)
+        epoch_fn = CachedJit(AotCache(run.aot_cache),
+                             f"cond-diff-epoch-{tag}", epoch_fn)
 
     @jax.jit
     def val_loss(p, past, fut, k):

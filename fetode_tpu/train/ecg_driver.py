@@ -67,6 +67,14 @@ class ECGRun:
     ckpt_dir: str = ""
     ckpt_every: int = 0
     resume: bool = False
+    # AOT executable cache dir ("" = off): the epoch program is loaded
+    # from / stored to disk as a serialized compiled executable
+    # (serve.py: AotCache), skipping the per-process compile on repeat
+    # runs.  This trainer takes an OPAQUE apply_fn, so the caller must
+    # supply aot_tag — a hash of the model/spec identity
+    # (serve.config_hash) — or the cache could serve the wrong program.
+    aot_cache: str = ""
+    aot_tag: str = ""
 
 
 def cross_entropy(logits, labels):
@@ -120,6 +128,19 @@ def train_ecg_model(
         return cross_entropy(apply_fn(p, xb, k), yb)
 
     epoch_fn = make_minibatch_epoch(loss_fn, tx, keyed=True)
+    _wrap = lambda fn, nm: fn            # noqa: E731
+    if run.aot_cache:
+        if not run.aot_tag:
+            raise ValueError(
+                "ECGRun.aot_cache requires aot_tag: this trainer takes an "
+                "opaque apply_fn, so the caller must pin the program "
+                "identity (serve.config_hash of the model/spec)")
+        from fetode_tpu.serve import AotCache, CachedJit
+
+        _cache = AotCache(run.aot_cache)
+        _wrap = lambda fn, nm: CachedJit(  # noqa: E731
+            _cache, f"{nm}-{run.aot_tag}", fn)
+        epoch_fn = _wrap(epoch_fn, "ecg-epoch")
 
     # Fixed eval keys (drawn once): evaluation is a consistent estimate of
     # the same "device instance" across epochs; vary run.seed for repeats.
@@ -162,7 +183,8 @@ def train_ecg_model(
     # NOTE: if epochs % E != 0 the ragged tail block has a different
     # leading dim and costs one extra trace/compile of the epoch scan —
     # pick epochs_per_call | epochs for benchmark runs.
-    block_fn = (make_minibatch_epochs_scanner(loss_fn, tx, keyed=True)
+    block_fn = (_wrap(make_minibatch_epochs_scanner(loss_fn, tx, keyed=True),
+                      f"ecg-block{E}")
                 if E > 1 else None)
     for ep in range(start_ep, run.epochs, E):
         n = min(E, run.epochs - ep)

@@ -64,6 +64,23 @@ class ForecastRun:
     ckpt_dir: str = ""
     ckpt_every: int = 0
     resume: bool = False
+    # AOT executable cache dir ("" = off): repeat runs of the same
+    # (spec, hypers) load the epoch program from disk instead of
+    # recompiling (serve.py: AotCache; the spec is hashed in here, so no
+    # caller-supplied tag is needed).
+    aot_cache: str = ""
+
+
+def _maybe_aot(epoch_fn, run: "ForecastRun", name: str, *identity):
+    """Wrap an epoch fn in CachedJit when run.aot_cache is set; the cache
+    name pins the spec + every hyper that shapes the program."""
+    if not run.aot_cache:
+        return epoch_fn
+    from fetode_tpu.serve import AotCache, CachedJit, config_hash
+
+    tag = config_hash(*identity, run.lr, run.weight_decay, run.grad_clip,
+                      run.mesh_devices, run.mesh_model)
+    return CachedJit(AotCache(run.aot_cache), f"{name}-{tag}", epoch_fn)
 
 
 def _mesh_tools(run: "ForecastRun", params):
@@ -127,7 +144,8 @@ def train_point_forecaster(spec: LatentODEForecasterSpec, X, y,
     def loss_fn(p, xb, yb):
         return jnp.mean((latent_ode_forecast(p, spec, xb) - yb) ** 2)
 
-    epoch_fn = make_minibatch_epoch(loss_fn, tx)
+    epoch_fn = _maybe_aot(make_minibatch_epoch(loss_fn, tx), run,
+                          "ett-point-epoch", spec)
 
     @jax.jit
     def _mse_chunk(p, x, y):
@@ -199,7 +217,8 @@ def train_diffusion_forecaster(spec: DiffusionForecasterSpec, X, y,
     def loss_fn(p, xb, yb, k):
         return diffusion_forecaster_loss(p, spec, sched, xb, yb, k)
 
-    epoch_fn = make_minibatch_epoch(loss_fn, tx)
+    epoch_fn = _maybe_aot(make_minibatch_epoch(loss_fn, tx), run,
+                          "ett-diff-epoch", spec)
 
     @jax.jit
     def _sample_mse_chunk(p, x, y, k):

@@ -192,3 +192,68 @@ def test_predprey_driver_aot_cache_roundtrip(tmp_path):
     assert os.path.isdir(str(tmp_path / "aot"))
     _, h2 = train_predprey(PredPreyRun(**kw), log=None)
     np.testing.assert_array_equal(h1["train"], h2["train"])
+
+
+def test_generic_drivers_aot_cache(tmp_path):
+    """Every generic driver accepts aot_cache and reproduces its curve on
+    a second run (ECG additionally requires the caller-supplied aot_tag)."""
+    rng = np.random.default_rng(0)
+    # --- ECG (opaque apply_fn -> tag required)
+    from fetode_tpu.nn.rnn import (DigitalRNNConfig, digital_rnn_apply,
+                                   digital_rnn_init)
+    from fetode_tpu.serve import config_hash
+    from fetode_tpu.train.ecg_driver import ECGRun, train_ecg_model
+
+    rcfg = DigitalRNNConfig(hidden_size=8)
+    data = (rng.normal(size=(16, 12)).astype(np.float32),
+            rng.integers(0, 2, 16), rng.normal(size=(8, 12)).astype(np.float32),
+            rng.integers(0, 2, 8))
+    kw = dict(epochs=2, batch_size=8, log_every=100,
+              aot_cache=str(tmp_path / "ecg"), aot_tag=config_hash(rcfg))
+    mk = lambda: train_ecg_model(  # noqa: E731
+        lambda k: digital_rnn_init(k, rcfg),
+        lambda p, x, k: digital_rnn_apply(p, rcfg, x),
+        data, ECGRun(**kw), log=None)
+    _, h1 = mk()
+    _, h2 = mk()
+    np.testing.assert_array_equal(h1["loss"], h2["loss"])
+    with pytest.raises(ValueError, match="aot_tag"):
+        train_ecg_model(lambda k: digital_rnn_init(k, rcfg),
+                        lambda p, x, k: digital_rnn_apply(p, rcfg, x),
+                        data, ECGRun(**dict(kw, aot_tag="")), log=None)
+
+    # --- point forecaster (spec hashed in-driver)
+    from fetode_tpu.models.forecasting import LatentODEForecasterSpec
+    from fetode_tpu.train.forecast_driver import (ForecastRun,
+                                                  train_point_forecaster)
+
+    X = rng.normal(size=(200, 3)).astype(np.float32)
+    y = rng.normal(size=(200,)).astype(np.float32)
+    frun = ForecastRun(context_len=8, pred_len=4, batch_size=16, epochs=2,
+                       log_every=100, aot_cache=str(tmp_path / "ett"))
+    fspec = LatentODEForecasterSpec(num_features=3, context_len=8,
+                                    pred_len=4, latent_dim=8, max_steps=8)
+    _, f1 = train_point_forecaster(fspec, X, y, frun, log=None)
+    _, f2 = train_point_forecaster(fspec, X, y, frun, log=None)
+    np.testing.assert_array_equal(f1["train"], f2["train"])
+
+    # --- conditional diffusion (spec hashed in-driver)
+    from fetode_tpu.models.cond_diffusion import make_denoiser_spec
+    from fetode_tpu.train.cond_diffusion_driver import (
+        CondDiffusionRun,
+        train_conditional_diffusion,
+    )
+
+    cspec = make_denoiser_spec("mlp", d_in=2, pred_len=4, seq_len=8)
+    past_fut = {
+        "train": (rng.normal(size=(32, 8, 2)).astype(np.float32),
+                  rng.normal(size=(32, 4, 2)).astype(np.float32)),
+        "val": (rng.normal(size=(8, 8, 2)).astype(np.float32),
+                rng.normal(size=(8, 4, 2)).astype(np.float32)),
+    }
+    crun = CondDiffusionRun(seq_len=8, pred_len=4, diff_T=4, epochs=2,
+                            batch_size=16, log_every=100,
+                            aot_cache=str(tmp_path / "cond"))
+    _, c1 = train_conditional_diffusion(cspec, past_fut, crun, log=None)
+    _, c2 = train_conditional_diffusion(cspec, past_fut, crun, log=None)
+    np.testing.assert_array_equal(c1["train"], c2["train"])
