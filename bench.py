@@ -474,6 +474,135 @@ def bench_ecg_logistic(solver_mode="scan", field="plain", want_cost=False):
     return stats, cost
 
 
+def bench_forecast(solver_mode="scan", want_cost=False):
+    """ETT point-forecaster training epochs/sec at the reference preset
+    (context 96, pred 8, latent 64, batch 64 — train_kan_fet_ett.py:
+    1341-1351; 8 minibatches/epoch).  "pallas" = the whole-solve latent
+    trajectory kernel with in-kernel discrete adjoint
+    (ops/pallas_ode_dyn.py: CONTD5 dense output at all 8 future times,
+    dense-output cotangents replayed on the frozen step mesh)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fetode_tpu.models.forecasting import (
+        LatentODEForecasterSpec,
+        latent_ode_forecast,
+        latent_ode_forecaster_init,
+    )
+    from fetode_tpu.train.loop import init_state, make_minibatch_epoch
+    from fetode_tpu.train.optim import make_optimizer
+
+    spec = LatentODEForecasterSpec(num_features=7, solver_mode=solver_mode)
+    key = jax.random.PRNGKey(0)
+    params = latent_ode_forecaster_init(key, spec)
+    n_batches, B = 8, 64
+    xb = jax.random.normal(key, (n_batches, B, spec.context_len,
+                                 spec.num_features), jnp.float32)
+    yb = jax.random.normal(jax.random.fold_in(key, 1),
+                           (n_batches, B, spec.pred_len), jnp.float32)
+
+    def loss_fn(p, x, y):
+        return jnp.mean((latent_ode_forecast(p, spec, x) - y) ** 2)
+
+    tx = make_optimizer(1e-3, kind="adamw", weight_decay=1e-4,
+                        grad_clip=1.0, params=params)
+    state = init_state(params, tx)
+    epoch_fn = make_minibatch_epoch(loss_fn, tx)
+    state, losses = epoch_fn(state, (xb, yb))       # compile
+    _sync(losses[-1])
+    state, losses = epoch_fn(state, (xb, yb))       # first-load warm
+    _sync(losses[-1])
+    n_calls = 10
+    box = {"s": state}
+
+    def window():
+        s = box["s"]
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            s, losses = epoch_fn(s, (xb, yb))
+        _sync(losses[-1])
+        box["s"] = s
+        return n_calls / (time.perf_counter() - t0)
+
+    stats = _windows(window)
+    cost = None
+    if want_cost:
+        from fetode_tpu.diag.roofline import xla_cost
+        c = xla_cost(epoch_fn, box["s"], (xb, yb))
+        cost = {"flops": c["flops"], "bytes": c["bytes"]}
+    return stats, cost
+
+
+def bench_cond_diffusion(solver_mode="scan", want_cost=False):
+    """Conditional-diffusion KAN_NODE training epochs/sec at the
+    reference preset (seq 96, pred 24, T=250, batch 64, d_in 7 —
+    kan_diffusion_ett.py:870-906; 8 minibatches/epoch).  The denoiser's
+    past conditioning is the NODE encoder — the reference's worst
+    self-reported hotspot (dopri5 over an interpolated signal,
+    train_kan_fet_ett.py:1154).  "pallas" = the whole-solve encoder
+    kernel (ops/pallas_node_enc.py: signal interpolation + field +
+    discrete adjoint in one program)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fetode_tpu.models.cond_diffusion import (
+        cond_denoiser_apply,
+        cond_denoiser_init,
+        make_denoiser_spec,
+    )
+    from fetode_tpu.nn.diffusion import make_schedule, q_sample
+    from fetode_tpu.train.loop import init_state, make_minibatch_epoch
+    from fetode_tpu.train.optim import make_optimizer
+
+    spec = make_denoiser_spec("kan_node", d_in=7, pred_len=24, seq_len=96,
+                              solver_mode=solver_mode)
+    sched = make_schedule(250)
+    key = jax.random.PRNGKey(0)
+    params = cond_denoiser_init(key, spec)
+    n_batches, B = 8, 64
+    past = jax.random.normal(key, (n_batches, B, spec.seq_len, spec.d_in),
+                             jnp.float32)
+    fut = jax.random.normal(jax.random.fold_in(key, 1),
+                            (n_batches, B, spec.pred_len, spec.d_in),
+                            jnp.float32)
+    bk = jax.random.split(jax.random.fold_in(key, 2), n_batches)
+
+    def loss_fn(p, pb, fb, k):
+        k_t, k_q = jax.random.split(k)
+        t_idx = jax.random.randint(k_t, (fb.shape[0],), 0, sched.T)
+        y_noisy, eps = q_sample(sched, fb, t_idx, k_q)
+        eps_hat = cond_denoiser_apply(p, spec, y_noisy, pb, t_idx)
+        return jnp.mean((eps_hat - eps) ** 2)
+
+    tx = make_optimizer(2e-4, kind="adamw", weight_decay=1e-4,
+                        grad_clip=1.0, params=params)
+    state = init_state(params, tx)
+    epoch_fn = make_minibatch_epoch(loss_fn, tx)
+    state, losses = epoch_fn(state, (past, fut, bk))    # compile
+    _sync(losses[-1])
+    state, losses = epoch_fn(state, (past, fut, bk))    # first-load warm
+    _sync(losses[-1])
+    n_calls = 5
+    box = {"s": state}
+
+    def window():
+        s = box["s"]
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            s, losses = epoch_fn(s, (past, fut, bk))
+        _sync(losses[-1])
+        box["s"] = s
+        return n_calls / (time.perf_counter() - t0)
+
+    stats = _windows(window)
+    cost = None
+    if want_cost:
+        from fetode_tpu.diag.roofline import xla_cost
+        c = xla_cost(epoch_fn, box["s"], (past, fut, bk))
+        cost = {"flops": c["flops"], "bytes": c["bytes"]}
+    return stats, cost
+
+
 def bench_diffusion_sampling():
     """DDPM forecast sampling (200 sequential denoise steps — the
     reference's self-reported pain point, kan_diffusion_ett.py:749)."""
@@ -748,6 +877,15 @@ def main() -> None:
     add_row("ecg_logistic_node_epochs_per_sec", "ecg logistic scan",
             bench_ecg_logistic, want_cost=True,
             cost_key="ecg_logistic_train_scan (per epoch)")
+
+    fpal = _stage("forecast pallas", bench_forecast, solver_mode="pallas")
+    extra["forecast_point_pallas_epochs_per_sec"] = (
+        None if fpal is None else fpal[0]["median"])
+    if fpal is not None:
+        dispersion["forecast_point_pallas_epochs_per_sec"] = fpal[0]
+    add_row("forecast_point_epochs_per_sec", "forecast scan",
+            bench_forecast, want_cost=True,
+            cost_key="forecast_point_train_scan (per epoch)")
 
     kur = _stage("kuramoto", bench_kuramoto)
     if kur is not None:

@@ -293,7 +293,8 @@ def run_ett(cfg, out_dir, plots):
         spec = LatentODEForecasterSpec(num_features=X.shape[1],
                                        context_len=cfg.context_len,
                                        pred_len=cfg.pred_len,
-                                       latent_dim=cfg.latent_dim)
+                                       latent_dim=cfg.latent_dim,
+                                       solver_mode=cfg.solver_mode)
         params, hist = train_point_forecaster(spec, X, y, run)
     else:
         enc = {"diffusion": "mlp", "kan_diffusion": "kan",
@@ -302,7 +303,8 @@ def run_ett(cfg, out_dir, plots):
                                        context_len=cfg.context_len,
                                        pred_len=cfg.pred_len,
                                        latent_dim=cfg.latent_dim,
-                                       diff_T=cfg.diff_t, encoder=enc)
+                                       diff_T=cfg.diff_t, encoder=enc,
+                                       solver_mode=cfg.solver_mode)
         params, hist = train_diffusion_forecaster(spec, X, y, run)
     if plots:
         from fetode_tpu.diag.plots import plot_forecast, plot_losses

@@ -119,6 +119,12 @@ class ETTPreset:
     latent_dim: int = 64
     diff_t: int = 200
     eval_samples: int = 10
+    # "scan" (checkpointed XLA) or "pallas" (whole-solve latent-ODE
+    # kernel with in-kernel discrete adjoint, ops/pallas_ode_dyn.py) on
+    # the latent dopri5 solve shared by the point forecaster and all
+    # three diffusion forecasters.  Eval always runs while-mode (the
+    # driver downgrades: large eval chunks don't need adjoint records).
+    solver_mode: str = "scan"
     mesh_devices: int = 0
     mesh_model: int = 1
     # Durable checkpoint/resume: --ckpt-dir D --ckpt-every N [--resume]

@@ -12,6 +12,11 @@ from fetode_tpu.data.informer import (  # noqa: F401
     dataset_ett_minute,
     dataset_pred,
 )
+from fetode_tpu.data.masking import (  # noqa: F401
+    apply_mask,
+    causal_mask,
+    prob_mask,
+)
 from fetode_tpu.data.metrics import (  # noqa: F401
     corr,
     mae,

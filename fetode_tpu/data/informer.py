@@ -10,8 +10,9 @@ Capability parity with ``data/data_loader.py`` of the reference:
 TPU-native: instead of per-item ``__getitem__``, each split materialises
 dense window arrays once (numpy fancy indexing) ready for scan epochs.
 Attention masks of the reference's vendored kit (``data/utils/masking.py``)
-are intentionally NOT reproduced: they are dead code there (no attention
-model exists in either repo).
+live in ``fetode_tpu/data/masking.py`` (dead code in the reference — no
+attention model — but part of its shipped inventory; reproduced as pure
+iota-comparison mask functions).
 """
 
 from __future__ import annotations

@@ -72,6 +72,14 @@ def ode_dynamics_apply(params, cfg: ODEDynamicsConfig, t, z):
 
 def _solve_latent(params, cfg: ODEDynamicsConfig, z0, t_fut, solver: str,
                   rtol, atol, max_steps, n_substeps, mode):
+    if solver == "dopri5" and mode == "pallas":
+        # whole-solve kernel + in-kernel discrete adjoint (trajectory
+        # output via CONTD5 dense output, ops/pallas_ode_dyn.py)
+        from fetode_tpu.ops.pallas_ode_dyn import pallas_ode_dyn_solve
+
+        return pallas_ode_dyn_solve(params, cfg, z0, t_fut, rtol=rtol,
+                                    atol=atol, max_steps=max_steps)
+
     def rhs(t, z):
         return ode_dynamics_apply(params, cfg, t, z)
 

@@ -56,16 +56,21 @@ def _pow(x, p):
 
 
 def tableau_table():
-    """(7, 9) runtime dopri5 table: cols 0..5 = A[j][:6], 7 = b_j,
-    8 = b_err_j (no dense column — final state only)."""
+    """(7, 10) runtime dopri5 table: cols 0..5 = A[j][:6], 6 = c_j (stage
+    time, used by the non-autonomous trajectory kernels), 7 = b_j,
+    8 = b_err_j, 9 = dense d_j (CONTD5)."""
     import numpy as np
 
-    tab = np.zeros((7, 9), np.float32)
+    from fetode_tpu.solvers.tableaux import DOPRI5_DENSE_D
+
+    tab = np.zeros((7, 10), np.float32)
     for j in range(7):
         for l, a in enumerate(DOPRI5.a[j][:j]):
             tab[j, l] = a
+        tab[j, 6] = DOPRI5.c[j]
         tab[j, 7] = DOPRI5.b[j]
         tab[j, 8] = DOPRI5.b_err[j]
+        tab[j, 9] = DOPRI5_DENSE_D[j]
     return jnp.asarray(tab)
 
 
@@ -204,4 +209,223 @@ def adjoint_replay(field_vjp, lam, tab_ref, tda_ref, yrec_ref, krec_ref,
         return (mm, lam)
 
     _, lam = jax.lax.while_loop(lambda c: c[0] > 0, body, (n_att, lam))
+    return lam
+
+
+def adaptive_solve_traj(field, y0, ts_col, tab_ref, out_ref, tda_ref,
+                        yrec_ref, krec_ref, misc_ref, ks_buf, B, D, T,
+                        max_steps, rtol, atol):
+    """Adaptive dopri5 over ``[ts[0], ts[T-1]]`` with CONTD5 dense output
+    at every requested time, for a NON-autonomous ``field(y, t)``.
+
+    The trajectory sibling of :func:`adaptive_solve_final` — same global
+    (batch-shared) step control, Hairer init, PI controller and FSAL; the
+    step mesh matches the XLA ``solvers/dopri5.py`` path.  ``ts_col`` is
+    the loaded (T, 1) output-time column; ``out_ref`` is (T, B, D),
+    prefilled here with y0 (index 0 and unreached tails keep last-state
+    semantics exactly like the XLA path).  Record layout matches
+    :func:`adaptive_solve_final` (tda rows = [dt, advanced, t, 0]).
+    """
+    tiny = jnp.float32(1e-12)
+    t0 = ts_col[0, 0]
+    t_final = ts_col[T - 1, 0]
+    tda_ref[:] = jnp.zeros_like(tda_ref)
+    ks_buf[:] = jnp.zeros_like(ks_buf)
+    for tau in range(T):
+        out_ref[tau] = y0
+
+    f0 = field(y0, t0)
+
+    def rms(v, ref):
+        s = atol + rtol * jnp.abs(ref)
+        return jnp.sqrt(jnp.mean((v / s) ** 2))
+
+    d0 = rms(y0, y0)
+    d1 = rms(f0, y0)
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6,
+                   0.01 * d0 / jnp.maximum(d1, 1e-30))
+    f1i = field(y0 + h0 * f0, t0 + h0)
+    d2 = rms(f1i - f0, y0) / h0
+    dmax = jnp.maximum(d1, d2)
+    h1 = jnp.where(dmax <= 1e-15, jnp.maximum(1e-6, h0 * 1e-3),
+                   _pow(0.01 / jnp.maximum(dmax, 1e-30),
+                        1.0 / (_ORDER + 1)))
+    dt0 = jnp.minimum(jnp.minimum(100.0 * h0, h1), t_final - t0)
+
+    def body(carry):
+        m, t, dt, errp, y, fv = carry
+        finished = t >= t_final - tiny
+        dt = jnp.where(finished, 0.0, jnp.minimum(dt, t_final - t))
+        dt_safe = jnp.where(dt == 0.0, 1.0, dt)
+
+        # ---- stage loop (k1 = FSAL carry seeds row 0); r5 accumulates
+        # the CONTD5 combination sum_j d_j k_j alongside y1 / y_err.
+        ks_buf[pl.ds(0, B)] = fv
+        row0 = tab_ref[pl.ds(0, 1), :]
+        acc0 = (y + (dt * row0[0, 7]) * fv, row0[0, 8] * fv,
+                row0[0, 9] * fv)
+
+        def stage(j, acc):
+            y1a, yea, r5a = acc
+            row = tab_ref[pl.ds(j, 1), :]
+            incr = row[0, 0] * ks_buf[pl.ds(0, B)]
+            for l in range(1, 6):
+                incr = incr + row[0, l] * ks_buf[pl.ds(l * B, B)]
+            kj = field(y + dt * incr, t + row[0, 6] * dt)
+            ks_buf[pl.ds(j * B, B)] = kj
+            return (y1a + (dt * row[0, 7]) * kj,
+                    yea + row[0, 8] * kj,
+                    r5a + row[0, 9] * kj)
+
+        y1, yerr_s, r5s = jax.lax.fori_loop(1, 7, stage, acc0)
+        yerr = dt * yerr_s
+        k7 = ks_buf[pl.ds(6 * B, B)]
+
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
+        err = jnp.sqrt(jnp.mean((yerr / scale) ** 2))
+        err = jnp.maximum(err, 1e-10)
+        accept = (err <= 1.0) | finished
+
+        fac_pi = _SAFETY * _pow(err, -_ALPHA) * _pow(errp, _BETA)
+        fac_acc = jnp.clip(fac_pi, _DFACTOR, _IFACTOR)
+        fac_rej = jnp.clip(_SAFETY * _pow(err, -1.0 / _ORDER),
+                           _DFACTOR, 1.0)
+        dt_next = jnp.where(finished, 0.0,
+                            dt_safe * jnp.where(accept, fac_acc, fac_rej))
+        t_new = jnp.where(accept, t + dt, t)
+        adv = accept & ~finished
+
+        rec = jnp.stack([dt, adv.astype(jnp.float32), t,
+                         jnp.float32(0.0)])[None, :]
+        tda_ref[pl.ds(m, 1), :] = rec
+        yrec_ref[pl.ds(m, 1)] = y[None]
+        krec_ref[pl.ds(m, 1)] = ks_buf[:].reshape(7, B, D)[None]
+
+        # ---- dense output (CONTD5, scalar theta per requested time)
+        dy = y1 - y
+        r3 = dt * fv - dy
+        r4 = dy - dt * k7 - r3
+        r5 = dt * r5s
+        advf = adv.astype(jnp.float32)
+        for tau in range(T):
+            tsv = ts_col[tau, 0]
+            theta = jnp.clip((tsv - t) / dt_safe, 0.0, 1.0)
+            th1 = 1.0 - theta
+            w = advf * ((tsv > t) & (tsv <= t + dt + tiny)).astype(
+                jnp.float32)
+            dense = y + theta * (dy + th1 * (r3 + theta * (r4 + th1 * r5)))
+            out_ref[tau] = w * dense + (1.0 - w) * out_ref[tau]
+
+        return (m + 1, t_new, dt_next,
+                jnp.where(adv, err, errp),
+                jnp.where(adv, y1, y),
+                jnp.where(adv, k7, fv))
+
+    def cond(carry):
+        m, t = carry[0], carry[1]
+        return (m < max_steps) & (t < t_final - tiny)
+
+    m, t, dt, errp, y, fv = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, dt0, jnp.float32(1.0), y0, f0))
+
+    # step budget exhausted: unreached outputs hold the last reached state
+    for tau in range(T):
+        tsv = ts_col[tau, 0]
+        w = (tsv > t + tiny).astype(jnp.float32)
+        out_ref[tau] = w * y + (1.0 - w) * out_ref[tau]
+    misc_ref[:] = jnp.stack(
+        [m.astype(jnp.float32), t, jnp.float32(0.0),
+         jnp.float32(0.0)])[None, :]
+
+
+def adjoint_replay_traj(field_vjp, ybar_ref, ts_col, tab_ref, tda_ref,
+                        yrec_ref, krec_ref, misc_ref, kbar_buf, B, D, T):
+    """Reverse walk for the trajectory solve: the discrete adjoint on the
+    frozen mesh with dense-output cotangents injected into the attempts
+    whose step window covers each requested time.
+
+    ``field_vjp(u, t, w) -> ubar`` must accumulate parameter gradients
+    into refs it closes over.  Returns the y0 cotangent (B, D), including
+    the head contributions of outputs at ``ts <= ts[0]`` and the tail
+    contributions of outputs past the reached frontier.
+    """
+    from fetode_tpu.solvers.tableaux import DOPRI5_DENSE_D
+
+    tiny = jnp.float32(1e-12)
+    t0 = ts_col[0, 0]
+    t_end = misc_ref[0, 1]
+    n_att = misc_ref[0, 0].astype(jnp.int32)
+
+    # unreached tails read the final state directly
+    lam = jnp.zeros((B, D), jnp.float32)
+    for tau in range(T):
+        w = (ts_col[tau, 0] > t_end + tiny).astype(jnp.float32)
+        lam = lam + w * ybar_ref[tau]
+
+    def body(carry):
+        m, lam = carry
+        mm = m - 1
+        rec = tda_ref[pl.ds(mm, 1), :]
+        dt = rec[0, 0]
+        adv = rec[0, 1]
+        t = rec[0, 2]
+        dt_safe = jnp.where(dt == 0.0, 1.0, dt)
+        y = yrec_ref[pl.ds(mm, 1)][0]                    # (B, D)
+        ksall = krec_ref[pl.ds(mm, 1)][0].reshape(7 * B, D)
+
+        # dense-output cotangent sums over this attempt's window:
+        # dense = y + P1*dy + P3*(dt k1 - dy) + P4*(2dy - dt k1 - dt k7)
+        #           + P5*dt*sum_j d_j k_j,  dy = dt*sum_j b_j k_j
+        zero = jnp.zeros((B, D), jnp.float32)
+        s_w, s_dy, s_1, s_7, s_5 = zero, zero, zero, zero, zero
+        for tau in range(T):
+            tsv = ts_col[tau, 0]
+            theta = jnp.clip((tsv - t) / dt_safe, 0.0, 1.0)
+            th1 = 1.0 - theta
+            w = adv * ((tsv > t) & (tsv <= t + dt + tiny)).astype(
+                jnp.float32)
+            P1 = theta * w
+            P3 = theta * th1 * w
+            P4 = theta * theta * th1 * w
+            P5 = P4 * th1
+            yb = ybar_ref[tau]
+            s_w = s_w + w * yb
+            s_dy = s_dy + (P1 - P3 + 2.0 * P4) * yb
+            s_1 = s_1 + (P3 - P4) * yb
+            s_7 = s_7 - P4 * yb
+            s_5 = s_5 + P5 * yb
+
+        lam_m = adv * lam
+        for j in range(7):
+            kb = dt * (DOPRI5.b[j] * (lam_m + s_dy)
+                       + DOPRI5_DENSE_D[j] * s_5)
+            if j == 0:
+                kb = kb + dt * s_1
+            if j == 6:
+                kb = kb + dt * s_7
+            kbar_buf[pl.ds(j * B, B)] = kb
+
+        def rev_stage(i, ybar_m):
+            j = 6 - i
+            row = tab_ref[pl.ds(j, 1), :]
+            incr = row[0, 0] * ksall[0:B]
+            for l in range(1, 6):
+                incr = incr + row[0, l] * ksall[l * B:(l + 1) * B]
+            u = y + dt * incr
+            ub = field_vjp(u, t + row[0, 6] * dt,
+                           kbar_buf[pl.ds(j * B, B)])
+            for l in range(6):
+                kbar_buf[pl.ds(l * B, B)] += (dt * row[0, l]) * ub
+            return ybar_m + ub
+
+        ybar_m = jax.lax.fori_loop(0, 7, rev_stage, lam_m + s_w)
+        lam = jnp.where(adv > 0.5, ybar_m, lam)
+        return (mm, lam)
+
+    _, lam = jax.lax.while_loop(lambda c: c[0] > 0, body, (n_att, lam))
+
+    # head outputs (ts <= ts[0]) read y0 directly
+    for tau in range(T):
+        w = (ts_col[tau, 0] <= t0 + tiny).astype(jnp.float32)
+        lam = lam + w * ybar_ref[tau]
     return lam

@@ -147,9 +147,15 @@ def train_point_forecaster(spec: LatentODEForecasterSpec, X, y,
     epoch_fn = _maybe_aot(make_minibatch_epoch(loss_fn, tx), run,
                           "ett-point-epoch", spec)
 
+    # Eval runs while-mode when training uses the pallas kernel: the
+    # 512-window eval chunks would overflow the kernel's VMEM adjoint
+    # records, and no-grad eval doesn't need them anyway.
+    eval_spec = (spec._replace(solver_mode="while")
+                 if spec.solver_mode == "pallas" else spec)
+
     @jax.jit
     def _mse_chunk(p, x, y):
-        return jnp.sum((latent_ode_forecast(p, spec, x) - y) ** 2), y.size
+        return jnp.sum((latent_ode_forecast(p, eval_spec, x) - y) ** 2), y.size
 
     def eval_mse(p, x, y):
         return _chunked_mean(_mse_chunk, p, x, y, chunk=512)
@@ -195,7 +201,7 @@ def train_point_forecaster(spec: LatentODEForecasterSpec, X, y,
 
     # final forecast on the last window, de-standardised
     last_x = jnp.asarray(windows["test"][0][-1:])
-    y_hat_std = np.asarray(latent_ode_forecast(best[1], spec, last_x))[0]
+    y_hat_std = np.asarray(latent_ode_forecast(best[1], eval_spec, last_x))[0]
     history["final_forecast"] = sy.invert(y_hat_std[:, None])[:, 0]
     return best[1], history
 
@@ -220,9 +226,13 @@ def train_diffusion_forecaster(spec: DiffusionForecasterSpec, X, y,
     epoch_fn = _maybe_aot(make_minibatch_epoch(loss_fn, tx), run,
                           "ett-diff-epoch", spec)
 
+    # See train_point_forecaster: eval chunks downgrade pallas -> while.
+    eval_spec = (spec._replace(solver_mode="while")
+                 if spec.solver_mode == "pallas" else spec)
+
     @jax.jit
     def _sample_mse_chunk(p, x, y, k):
-        samples = diffusion_forecaster_sample(p, spec, sched, x, k,
+        samples = diffusion_forecaster_sample(p, eval_spec, sched, x, k,
                                               n_samples=run.eval_samples)
         return jnp.sum((samples.mean(0) - y) ** 2), y.size
 
@@ -275,6 +285,7 @@ def train_diffusion_forecaster(spec: DiffusionForecasterSpec, X, y,
 
     last_x = jnp.asarray(windows["test"][0][-1:])
     y_hat_std = np.asarray(diffusion_forecaster_sample(
-        best[1], spec, sched, last_x, k_f, n_samples=run.eval_samples)).mean(0)[0]
+        best[1], eval_spec, sched, last_x, k_f,
+        n_samples=run.eval_samples)).mean(0)[0]
     history["final_forecast"] = sy.invert(y_hat_std[:, None])[:, 0]
     return best[1], history

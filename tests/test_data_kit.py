@@ -170,3 +170,32 @@ def test_plot_model_comparison(tmp_path):
     plot_model_comparison({"a": [1.0, 0.5], "b": [0.9, 0.4]}, out)
     import os
     assert os.path.exists(out)
+
+
+def test_masking_parity_with_torch_formulas():
+    """causal_mask / prob_mask match the reference's torch constructions
+    (data/utils/masking.py:3-24) bit-for-bit."""
+    import torch
+
+    from fetode_tpu.data import apply_mask, causal_mask, prob_mask
+
+    B, H, L, n_top = 2, 3, 7, 4
+    ref_causal = torch.triu(torch.ones([B, 1, L, L], dtype=torch.bool),
+                            diagonal=1).numpy()
+    np.testing.assert_array_equal(np.asarray(causal_mask(B, L)), ref_causal)
+
+    rng = np.random.default_rng(0)
+    index_np = rng.integers(0, L, size=(B, H, n_top))
+    scores_np = rng.standard_normal((B, H, n_top, L)).astype(np.float32)
+    index, scores = torch.as_tensor(index_np), torch.as_tensor(scores_np)
+    _mask = torch.ones(L, scores.shape[-1], dtype=torch.bool).triu(1)
+    _mask_ex = _mask[None, None, :].expand(B, H, L, scores.shape[-1])
+    ref_prob = _mask_ex[torch.arange(B)[:, None, None],
+                        torch.arange(H)[None, :, None],
+                        index, :].view(scores.shape).numpy()
+    ours = np.asarray(prob_mask(index_np, scores_np, L))
+    np.testing.assert_array_equal(ours, ref_prob)
+
+    filled = np.asarray(apply_mask(scores_np, ours))
+    assert np.isneginf(filled[ours]).all()
+    np.testing.assert_array_equal(filled[~ours], scores_np[~ours])

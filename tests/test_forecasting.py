@@ -197,3 +197,21 @@ def test_p_sample_loop_unroll_parity():
                             unroll=unroll)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_point_training_pallas_mode_with_eval_downgrade():
+    """Driver-level pallas routing: training uses the whole-solve kernel
+    (ops/pallas_ode_dyn.py) while eval/final-forecast run while-mode
+    dopri5 (the driver downgrade — eval chunks don't fit the kernel's
+    VMEM adjoint records).  Interpret mode on CPU."""
+    X, y = synthetic_series(n=160, n_features=2)
+    spec = LatentODEForecasterSpec(
+        num_features=X.shape[1], context_len=12, pred_len=4, latent_dim=8,
+        enc_hidden=16, dec_hidden=16, dyn_hidden=16, rtol=1e-3, atol=1e-4,
+        max_steps=16, solver_mode="pallas")
+    run = ForecastRun(context_len=12, pred_len=4, batch_size=16, epochs=3,
+                      log_every=100)
+    params, hist = train_point_forecaster(spec, X, y, run, log=None)
+    assert np.isfinite(hist["test_mse"])
+    assert hist["final_forecast"].shape == (4,)
+    assert len(hist["train"]) == 3
