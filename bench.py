@@ -878,6 +878,16 @@ def main() -> None:
             bench_ecg_logistic, want_cost=True,
             cost_key="ecg_logistic_train_scan (per epoch)")
 
+    cpal = _stage("cond-diffusion pallas", bench_cond_diffusion,
+                  solver_mode="pallas")
+    extra["cond_diffusion_pallas_epochs_per_sec"] = (
+        None if cpal is None else cpal[0]["median"])
+    if cpal is not None:
+        dispersion["cond_diffusion_pallas_epochs_per_sec"] = cpal[0]
+    add_row("cond_diffusion_epochs_per_sec", "cond-diffusion scan",
+            bench_cond_diffusion, want_cost=True,
+            cost_key="cond_diffusion_train_scan (per epoch)")
+
     fpal = _stage("forecast pallas", bench_forecast, solver_mode="pallas")
     extra["forecast_point_pallas_epochs_per_sec"] = (
         None if fpal is None else fpal[0]["median"])

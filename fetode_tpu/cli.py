@@ -343,7 +343,8 @@ def run_cond_diffusion(cfg, out_dir, plots):
         data[name] = (past, fut)
 
     spec = make_denoiser_spec(cfg.denoiser, d_in=Xs.shape[1],
-                              pred_len=cfg.pred_len, seq_len=cfg.seq_len)
+                              pred_len=cfg.pred_len, seq_len=cfg.seq_len,
+                              solver_mode=cfg.solver_mode)
     run = CondDiffusionRun(seq_len=cfg.seq_len, pred_len=cfg.pred_len,
                            diff_T=cfg.diff_t, epochs=cfg.epochs,
                            batch_size=cfg.batch_size, lr=cfg.lr,

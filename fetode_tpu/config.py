@@ -153,6 +153,11 @@ class CondDiffusionPreset:
     epochs: int = 10
     lr: float = 2e-4
     eval_samples: int = 10
+    # NODE-encoder denoisers (kan_node / kan_fet_all_node): "scan"
+    # (checkpointed XLA) or "pallas" — the whole-solve encoder kernel
+    # (ops/pallas_node_enc.py: signal interpolation + field + in-kernel
+    # discrete adjoint; measured 4.9x on chip).
+    solver_mode: str = "scan"
     mesh_devices: int = 0
     mesh_model: int = 1
     # Durable checkpoint/resume: --ckpt-dir D --ckpt-every N [--resume]

@@ -116,6 +116,13 @@ def node_encoder_apply(params, cfg: NodeEncoderCfg, past):
     t_grid = jnp.linspace(0.0, 1.0, L, dtype=past.dtype)
     z0 = x_seq[:, 0] @ params["z0_w"].T + params["z0_b"]
 
+    if cfg.solver == "dopri5" and cfg.solver_mode == "pallas":
+        # whole-solve kernel: signal interpolation + field + in-kernel
+        # discrete adjoint in one Pallas program (ops/pallas_node_enc.py)
+        from fetode_tpu.ops.pallas_node_enc import pallas_node_enc_solve
+
+        return pallas_node_enc_solve(params, cfg, z0, x_seq)
+
     def rhs(t, z):
         from fetode_tpu.nn.mlp import layer_norm
 
@@ -146,6 +153,9 @@ class CondDenoiserSpec(NamedTuple):
     encoder: str = "conv"     # 'conv' | 'node'
     net: str = "mlp"          # 'mlp' | 'kan' | 'kanfet'
     ferro_num_basis: int = 4
+    # latent-encoder dopri5 path: "scan" (checkpointed XLA) or "pallas"
+    # (whole-solve kernel incl. in-kernel signal interp + adjoint)
+    solver_mode: str = "scan"
 
     @property
     def conv_cfg(self):
@@ -153,7 +163,8 @@ class CondDenoiserSpec(NamedTuple):
 
     @property
     def node_cfg(self):
-        return NodeEncoderCfg(self.d_in, self.cond_dim)
+        return NodeEncoderCfg(self.d_in, self.cond_dim,
+                              solver_mode=self.solver_mode)
 
     @property
     def in_dim(self):
@@ -184,12 +195,18 @@ def cond_denoiser_init(key, spec: CondDenoiserSpec, dtype=jnp.float32):
     return {"encoder": enc, "net": net}
 
 
-def cond_denoiser_apply(params, spec: CondDenoiserSpec, x_t, past, t_idx):
-    """eps_hat (B, Ly, D) from noisy future + past conditioning + step."""
-    B = x_t.shape[0]
-    cond = (conv_encoder_apply(params["encoder"], spec.conv_cfg, past)
+def cond_denoiser_encode(params, spec: CondDenoiserSpec, past):
+    """Past conditioning (B, cond_dim) — constant across diffusion steps,
+    so samplers hoist it out of the 250-step reverse chain (the reference
+    re-encodes every step, kan_diffusion_ett.py:432-444)."""
+    return (conv_encoder_apply(params["encoder"], spec.conv_cfg, past)
             if spec.encoder == "conv"
             else node_encoder_apply(params["encoder"], spec.node_cfg, past))
+
+
+def cond_denoiser_eps(params, spec: CondDenoiserSpec, x_t, cond, t_idx):
+    """eps_hat (B, Ly, D) from noisy future + precomputed conditioning."""
+    B = x_t.shape[0]
     temb = sinusoidal_emb(t_idx, spec.time_dim).astype(x_t.dtype)
     h = jnp.concatenate([x_t.reshape(B, -1), cond, temb], axis=-1)
     if spec.net == "mlp":
@@ -199,6 +216,12 @@ def cond_denoiser_apply(params, spec: CondDenoiserSpec, x_t, past, t_idx):
                  if spec.net == "kanfet" else None)
         eps, _ = kan_apply(params["net"], spec.net_cfg, h, state)
     return eps.reshape(B, spec.pred_len, spec.d_in)
+
+
+def cond_denoiser_apply(params, spec: CondDenoiserSpec, x_t, past, t_idx):
+    """eps_hat (B, Ly, D) from noisy future + past conditioning + step."""
+    cond = cond_denoiser_encode(params, spec, past)
+    return cond_denoiser_eps(params, spec, x_t, cond, t_idx)
 
 
 DENOISER_VARIANTS = {

@@ -159,15 +159,29 @@ def train_conditional_diffusion(spec: CondDenoiserSpec, past_fut,
 
 def sample_forecasts(params, spec: CondDenoiserSpec, sched, past, key,
                      n_samples: int = 10):
-    """(S, B, Ly, D) posterior samples from the reverse chain."""
-    B = past.shape[0]
+    """(S, B, Ly, D) posterior samples from the reverse chain.
 
-    def eps_model(y_t, t_idx, cond_past):
-        return cond_denoiser_apply(params, spec, y_t, cond_past, t_idx)
+    The past conditioning is hoisted OUT of the chain: it is constant
+    across diffusion steps, so the encoder (conv or NODE) runs once per
+    batch instead of once per reverse step x sample (the reference
+    re-encodes inside every denoiser call, kan_diffusion_ett.py:432-444
+    — x250 steps x n_samples redundant solves)."""
+    from fetode_tpu.models.cond_diffusion import (cond_denoiser_encode,
+                                                  cond_denoiser_eps)
+
+    B = past.shape[0]
+    # no-grad encoding downgrades pallas -> while-mode dopri5: large eval
+    # batches would stack the kernel's VMEM adjoint records for nothing
+    enc_spec = (spec._replace(solver_mode="while")
+                if spec.solver_mode == "pallas" else spec)
+    cond = cond_denoiser_encode(params, enc_spec, past)
+
+    def eps_model(y_t, t_idx, cond_):
+        return cond_denoiser_eps(params, spec, y_t, cond_, t_idx)
 
     def one(k):
         return p_sample_loop(sched, eps_model, (B, spec.pred_len, spec.d_in),
-                             past, k, past.dtype)
+                             cond, k, past.dtype)
 
     return jax.vmap(one)(jax.random.split(key, n_samples))
 
