@@ -738,7 +738,50 @@ def bench_kuramoto():
         cost["fwd_per_image"] = {k: v / x_big.shape[0] for k, v in c.items()}
     except Exception as e:                                    # noqa: BLE001
         cost["error"] = f"{type(e).__name__}: {e}"
-    return {"train": train_stats, "fwd": fwd_stats, "cost": cost}
+
+    # whole-rollout kernel rows (ops/pallas_kuramoto.py): same model, the
+    # 10-step phase rollout + its discrete adjoint run VMEM-resident
+    spec_p = spec._replace(rollout="pallas")
+
+    def loss_fn_p(p, xb, yb):
+        logits = kuramoto_kan_apply(p, spec_p, xb)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, yb).mean()
+
+    epoch_fn_p = make_minibatch_epoch(loss_fn_p, tx)
+    state_p = init_state(params, tx)
+    state_p, losses = epoch_fn_p(state_p, (imgs, labels))    # compile
+    _sync(losses[-1])
+    state_p, losses = epoch_fn_p(state_p, (imgs, labels))    # first-load warm
+    _sync(losses[-1])
+    box_p = {"s": state_p}
+
+    def train_window_p():
+        s = box_p["s"]
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            s, losses = epoch_fn_p(s, (imgs, labels))
+        _sync(losses[-1])
+        box_p["s"] = s
+        return n_calls * n_batches * B / (time.perf_counter() - t0)
+
+    train_p_stats = _windows(train_window_p)
+
+    fwd_p = jax.jit(lambda p, x: kuramoto_kan_apply(p, spec_p, x))
+    _sync(fwd_p(box_p["s"].params, x_big)[0, 0])
+    _sync(fwd_p(box_p["s"].params, x_big)[0, 0])
+
+    def fwd_window_p():
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = fwd_p(box_p["s"].params, x_big)
+        _sync(out[0, 0])
+        return 5 * x_big.shape[0] / (time.perf_counter() - t0)
+
+    fwd_p_stats = _windows(fwd_window_p)
+    return {"train": train_stats, "fwd": fwd_stats,
+            "train_pallas": train_p_stats, "fwd_pallas": fwd_p_stats,
+            "cost": cost}
 
 
 def bench_ferro_op():
@@ -901,8 +944,15 @@ def main() -> None:
     if kur is not None:
         extra["kuramoto_train_images_per_sec"] = kur["train"]["median"]
         extra["kuramoto_fwd_images_per_sec"] = kur["fwd"]["median"]
+        extra["kuramoto_pallas_train_images_per_sec"] = \
+            kur["train_pallas"]["median"]
+        extra["kuramoto_pallas_fwd_images_per_sec"] = \
+            kur["fwd_pallas"]["median"]
         dispersion["kuramoto_train_images_per_sec"] = kur["train"]
         dispersion["kuramoto_fwd_images_per_sec"] = kur["fwd"]
+        dispersion["kuramoto_pallas_train_images_per_sec"] = \
+            kur["train_pallas"]
+        dispersion["kuramoto_pallas_fwd_images_per_sec"] = kur["fwd_pallas"]
         if "train_per_image" in kur["cost"]:
             from fetode_tpu.diag.roofline import roofline_row
             roofline["kuramoto_train (per image)"] = roofline_row(

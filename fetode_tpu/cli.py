@@ -476,7 +476,7 @@ def run_mnist(cfg, out_dir, plots):
 
     spec = KuramotoSpec(H=x_train.shape[1], W=x_train.shape[2],
                         steps=cfg.kuramoto_steps, dt=cfg.dt,
-                        num_basis=cfg.num_basis)
+                        num_basis=cfg.num_basis, rollout=cfg.rollout)
     params = kuramoto_init(jax.random.PRNGKey(cfg.seed), spec)
     _shard = lambda tree, batch_axis: tree       # noqa: E731
     if cfg.mesh_devices:

@@ -211,6 +211,9 @@ class MNISTPreset:
     epochs: int = 3
     batch_size: int = 128
     lr: float = 1e-3
+    # "scan" (lax.scan + cross conv) or "pallas" (whole-rollout kernel,
+    # ops/pallas_kuramoto.py)
+    rollout: str = "scan"
     mesh_devices: int = 0
     mesh_model: int = 1
     seed: int = 0

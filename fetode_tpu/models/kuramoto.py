@@ -35,6 +35,9 @@ class KuramotoSpec(NamedTuple):
     num_classes: int = 10
     num_basis: int = 8
     grid_size: int = 5
+    # "scan" = lax.scan + cross conv (XLA); "pallas" = whole-rollout kernel
+    # with in-kernel discrete adjoint (ops/pallas_kuramoto.py)
+    rollout: str = "scan"
 
     @property
     def head_cfg(self) -> KANLinearConfig:
@@ -67,6 +70,10 @@ def _neighbor_sum(x):
 
 def kuramoto_features(params, spec: KuramotoSpec, x_img: jax.Array):
     """x_img (B, H, W) or (B, 1, H, W) in [0, 1] -> (B, 2*H*W) features."""
+    if spec.rollout == "pallas":
+        from fetode_tpu.ops.pallas_kuramoto import pallas_kuramoto_features
+
+        return pallas_kuramoto_features(params, spec, x_img)
     if x_img.ndim == 4:
         x_img = x_img[:, 0]
     theta0 = math.pi * (2.0 * x_img - 1.0)
