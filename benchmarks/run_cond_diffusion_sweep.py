@@ -57,6 +57,12 @@ def main():
     ap.add_argument("--pred-len", type=int, default=24)
     ap.add_argument("--seq-len", type=int, default=96)
     ap.add_argument("--n-eval", type=int, default=256)
+    ap.add_argument("--variants", default=None,
+                    help="comma list of denoiser variants (default: all)")
+    ap.add_argument("--art-dir", default=None,
+                    help="plot artifact dir (default: the main sweep dir; "
+                         "set one per --out so partial re-runs don't "
+                         "clobber the full sweep's plots)")
     ap.add_argument("--out", default=os.path.join(
         ROOT, "benchmarks", "etth1_cond_diffusion_runs.json"))
     args = ap.parse_args()
@@ -74,14 +80,16 @@ def main():
 
     data = prepare_data(args.seq_len, args.pred_len)
     d_in = data["train"][0].shape[2]
-    art_dir = os.path.join(ROOT, "benchmarks", "artifacts",
-                           "etth1_cond_diffusion_sweep")
+    art_dir = args.art_dir or os.path.join(ROOT, "benchmarks", "artifacts",
+                                           "etth1_cond_diffusion_sweep")
     os.makedirs(art_dir, exist_ok=True)
 
     run = CondDiffusionRun(seq_len=args.seq_len, pred_len=args.pred_len,
                            epochs=args.epochs, log_every=5)
+    variants = (args.variants.split(",") if args.variants
+                else list(DENOISER_VARIANTS))
     results, curves = {}, {}
-    for name in DENOISER_VARIANTS:
+    for name in variants:
         print(f"=== {name} ({args.epochs} epochs) ===", flush=True)
         spec = make_denoiser_spec(name, d_in=d_in, pred_len=args.pred_len,
                                   seq_len=args.seq_len)
