@@ -380,3 +380,37 @@ def test_cond_diffusion_driver_mesh_matches_single_device(rng):
                                rtol=2e-4, atol=1e-6)
     np.testing.assert_allclose(h_dp["val"], h_ref["val"],
                                rtol=2e-4, atol=1e-6)
+
+
+def test_kuramoto_pallas_mesh_matches_single_device(key):
+    """The whole-rollout Kuramoto kernel under GSPMD data parallelism
+    (the `mnist --mesh data=8 --rollout pallas` path) must reproduce the
+    single-device epoch losses."""
+    import optax
+
+    from fetode_tpu.models.kuramoto import (KuramotoSpec, kuramoto_init,
+                                            kuramoto_kan_apply)
+    from fetode_tpu.parallel import shard_batch_leaves
+    from fetode_tpu.train.loop import init_state, make_minibatch_epoch
+    from fetode_tpu.train.optim import make_optimizer
+
+    spec = KuramotoSpec(H=8, W=8, steps=3, rollout="pallas")
+    params = kuramoto_init(key, spec)
+    imgs = jax.random.uniform(key, (2, 16, 8, 8), jnp.float32)
+    labels = jax.random.randint(jax.random.fold_in(key, 1), (2, 16), 0, 10)
+
+    def loss_fn(p, x, y):
+        logits = kuramoto_kan_apply(p, spec, x)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, y).mean()
+
+    tx = make_optimizer(1e-3, kind="adamw", weight_decay=1e-4,
+                        params=params)
+    epoch_fn = make_minibatch_epoch(loss_fn, tx)
+    _, l_ref = epoch_fn(init_state(params, tx), (imgs, labels))
+
+    mesh = make_mesh(8)
+    batch = shard_batch_leaves((imgs, labels), mesh, batch_axis=1)
+    _, l_dp = epoch_fn(init_state(params, tx), batch)
+    np.testing.assert_allclose(np.asarray(l_dp), np.asarray(l_ref),
+                               rtol=2e-4, atol=1e-6)
