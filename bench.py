@@ -779,9 +779,28 @@ def bench_kuramoto():
         return 5 * x_big.shape[0] / (time.perf_counter() - t0)
 
     fwd_p_stats = _windows(fwd_window_p)
+
+    # fused rollout+head kernel (ops/pallas_kuramoto.py:
+    # pallas_kuramoto_logits): the KANLinear head's spline/logistic basis
+    # tensors never leave VMEM — the inference row this targets is the
+    # head-bound B=1024 forward (round-3 roofline: head basis
+    # materialisation dominated inference HBM traffic).
+    spec_f = spec._replace(rollout="pallas_fused")
+    fwd_f = jax.jit(lambda p, x: kuramoto_kan_apply(p, spec_f, x))
+    _sync(fwd_f(box_p["s"].params, x_big)[0, 0])
+    _sync(fwd_f(box_p["s"].params, x_big)[0, 0])
+
+    def fwd_window_f():
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = fwd_f(box_p["s"].params, x_big)
+        _sync(out[0, 0])
+        return 5 * x_big.shape[0] / (time.perf_counter() - t0)
+
+    fwd_f_stats = _windows(fwd_window_f)
     return {"train": train_stats, "fwd": fwd_stats,
             "train_pallas": train_p_stats, "fwd_pallas": fwd_p_stats,
-            "cost": cost}
+            "fwd_fused": fwd_f_stats, "cost": cost}
 
 
 def bench_ferro_op():
@@ -948,11 +967,14 @@ def main() -> None:
             kur["train_pallas"]["median"]
         extra["kuramoto_pallas_fwd_images_per_sec"] = \
             kur["fwd_pallas"]["median"]
+        extra["kuramoto_fused_fwd_images_per_sec"] = \
+            kur["fwd_fused"]["median"]
         dispersion["kuramoto_train_images_per_sec"] = kur["train"]
         dispersion["kuramoto_fwd_images_per_sec"] = kur["fwd"]
         dispersion["kuramoto_pallas_train_images_per_sec"] = \
             kur["train_pallas"]
         dispersion["kuramoto_pallas_fwd_images_per_sec"] = kur["fwd_pallas"]
+        dispersion["kuramoto_fused_fwd_images_per_sec"] = kur["fwd_fused"]
         if "train_per_image" in kur["cost"]:
             from fetode_tpu.diag.roofline import roofline_row
             roofline["kuramoto_train (per image)"] = roofline_row(
@@ -1022,7 +1044,50 @@ def main() -> None:
                         if baseline_sec_per_epoch else None),
         "extra": extra,
     }
-    print(json.dumps(result))
+    print(json.dumps(_compact_summary(result), sort_keys=True))
+
+
+def _compact_summary(result) -> dict:
+    """The machine-readable round record: ONE compact stdout line.
+
+    The driver captures only the TAIL of stdout, so the giant detail
+    record (``extra`` with full dispersion windows + roofline rows) would
+    lose its head and parse as null (BENCH_r03.json did exactly that).
+    The full record goes to ``benchmarks/bench_last_full.json``; stdout
+    ends with a self-describing summary: headline + per-row
+    median/[min,max] + the roofline bound classification per costed row.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "benchmarks", "bench_last_full.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(result, fh, indent=2, sort_keys=True)
+        print(f"[bench] full record -> {full_path}", file=sys.stderr,
+              flush=True)
+    except OSError as exc:  # read-only checkout: summary still prints
+        print(f"[bench] could not write full record: {exc}", file=sys.stderr)
+
+    extra = result.get("extra", {})
+    rows = {
+        key: {"median": st.get("median"), "min": st.get("min"),
+              "max": st.get("max")}
+        for key, st in extra.get("dispersion", {}).items()
+        if isinstance(st, dict)
+    }
+    bounds = {}
+    for key, row in extra.get("roofline", {}).items():
+        b = row.get("bound") if isinstance(row, dict) else None
+        # "latency (serial/dispatch dominated: ...)" -> "latency"
+        bounds[key] = b.split(" (")[0] if isinstance(b, str) else b
+    return {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "rows": rows,
+        "roofline_bound": bounds,
+        "full_record": os.path.relpath(full_path, here),
+    }
 
 
 if __name__ == "__main__":

@@ -88,7 +88,7 @@ class NodeEncoderCfg(NamedTuple):
     max_steps: int = 24         # measured 7 accepted / 0 rejected steps at
                                 # this tolerance (scan pays every masked
                                 # iteration; was 64)
-    solver_mode: str = "scan"
+    solver_mode: str = "auto"   # dopri5: scan under AD, while for no-grad eval
 
     @property
     def field_mlp(self):
@@ -155,7 +155,7 @@ class CondDenoiserSpec(NamedTuple):
     ferro_num_basis: int = 4
     # latent-encoder dopri5 path: "scan" (checkpointed XLA) or "pallas"
     # (whole-solve kernel incl. in-kernel signal interp + adjoint)
-    solver_mode: str = "scan"
+    solver_mode: str = "auto"   # dopri5: scan under AD, while for no-grad eval
 
     @property
     def conv_cfg(self):

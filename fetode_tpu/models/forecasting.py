@@ -108,7 +108,7 @@ class LatentODEForecasterSpec(NamedTuple):
     # re-validated on real ETTh1: test MSE unchanged at budget 32).
     max_steps: int = 32
     n_substeps: int = 4
-    solver_mode: str = "scan"
+    solver_mode: str = "auto"   # dopri5: scan under AD, while for no-grad eval
 
     @property
     def enc(self):
@@ -171,7 +171,7 @@ class DiffusionForecasterSpec(NamedTuple):
     max_steps: int = 32         # same measured need as the point
                                 # forecaster's latent solve (~8 steps)
     n_substeps: int = 4
-    solver_mode: str = "scan"
+    solver_mode: str = "auto"   # dopri5: scan under AD, while for no-grad eval
 
     @property
     def enc_mlp(self):

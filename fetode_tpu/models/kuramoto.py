@@ -70,7 +70,14 @@ def _neighbor_sum(x):
 
 def kuramoto_features(params, spec: KuramotoSpec, x_img: jax.Array):
     """x_img (B, H, W) or (B, 1, H, W) in [0, 1] -> (B, 2*H*W) features."""
-    if spec.rollout == "pallas":
+    if spec.rollout not in ("scan", "pallas", "pallas_fused"):
+        # A typo must not silently benchmark the scan path.
+        raise ValueError(f"KuramotoSpec.rollout={spec.rollout!r}: expected "
+                         "'scan', 'pallas' or 'pallas_fused'")
+    if spec.rollout in ("pallas", "pallas_fused"):
+        # Feature-level calls use the rollout kernel either way; the head
+        # fusion of 'pallas_fused' only exists at the classifier level
+        # (kuramoto_kan_apply), where the features never leave VMEM.
         from fetode_tpu.ops.pallas_kuramoto import pallas_kuramoto_features
 
         return pallas_kuramoto_features(params, spec, x_img)
@@ -92,7 +99,17 @@ def kuramoto_features(params, spec: KuramotoSpec, x_img: jax.Array):
 
 
 def kuramoto_kan_apply(params, spec: KuramotoSpec, x_img: jax.Array):
-    """Full classifier: oscillator features -> KANLinear logits."""
+    """Full classifier: oscillator features -> KANLinear logits.
+
+    ``rollout='pallas_fused'`` evaluates rollout AND head in one kernel
+    (ops/pallas_kuramoto.py: pallas_kuramoto_logits) — the spline/logistic
+    basis tensors stay in VMEM, which is the inference win; gradients
+    route through the rollout kernel's adjoint + the XLA head.
+    """
+    if spec.rollout == "pallas_fused":
+        from fetode_tpu.ops.pallas_kuramoto import pallas_kuramoto_logits
+
+        return pallas_kuramoto_logits(params, spec, x_img)
     feat = kuramoto_features(params, spec, x_img)
     logits, _ = kan_linear_apply(params["head"], spec.head_cfg, feat)
     return logits

@@ -136,6 +136,12 @@ def _make_bwd_kernel(HW, W, steps, dt):
     return kernel
 
 
+# Scoped-VMEM budget for the backward kernel's replay scratch.  Mosaic's
+# default limit is 16 MiB; leave headroom for the ~8 live (HW, block_b)
+# working arrays of the adjoint step.
+_VMEM_BUDGET_BYTES = 14 * 2**20
+
+
 @functools.lru_cache(maxsize=8)
 def make_kuramoto_rollout(H, W, steps, dt, block_b=128, interpret=False):
     """Differentiable whole-rollout for the Kuramoto feature front-end.
@@ -147,6 +153,25 @@ def make_kuramoto_rollout(H, W, steps, dt, block_b=128, interpret=False):
     """
     f32 = jnp.float32
     HW = H * W
+
+    # The backward replay scratch is (steps*HW, block_b) f32.  Blowing the
+    # scoped-VMEM limit dies inside Mosaic compilation with an opaque
+    # error (and interpret mode cannot catch it), so size the batch block
+    # down pre-emptively and fail with a real message when even the
+    # narrowest block cannot fit (e.g. steps*HW too large outright).
+    def _scratch_bytes(bb):
+        return (steps + 8) * HW * bb * 4
+
+    while block_b > 8 and _scratch_bytes(block_b) > _VMEM_BUDGET_BYTES:
+        block_b //= 2
+    if _scratch_bytes(block_b) > _VMEM_BUDGET_BYTES:
+        raise ValueError(
+            f"kuramoto rollout backward needs ~{_scratch_bytes(block_b)/2**20:.1f}"
+            f" MiB of VMEM replay scratch at block_b={block_b} "
+            f"(steps={steps}, H*W={HW}) — over the ~"
+            f"{_VMEM_BUDGET_BYTES/2**20:.0f} MiB budget. Reduce steps or the "
+            f"lattice, or fall back to rollout='scan'.")
+
     maskl, maskr = _row_masks(H, W)
 
     def _blocks(rows):
@@ -215,13 +240,298 @@ def make_kuramoto_rollout(H, W, steps, dt, block_b=128, interpret=False):
     return rollout
 
 
+# ------------------------------------------------------------------ fused head
+#
+# Inference roofline note (BASELINE.md Kuramoto-kernel row): with the
+# rollout kernel alone, the KANLinear(2HW, 10) head still materialises the
+# (B, 2HW, G+k) B-spline basis AND the (B, 2HW, K) logistic basis in HBM —
+# 16x the feature bytes each way — which dominates inference traffic and
+# capped fwd at 1.14x.  The fused classifier below keeps the features in
+# VMEM after the rollout and evaluates the whole head in-kernel: the
+# Cox-de Boor recursion runs on (HW, block_b) planes (cos half, then sin
+# half, so peak VMEM is half the 2HW working set) and each basis plane is
+# consumed immediately by a (C, HW) x (HW, block_b) MXU matmul.  Only the
+# (B, C) logits leave the chip.
+
+
+def _make_fused_kernel(HW, W, steps, dt, n_knots, spline_order, n_logistic,
+                       C_pad):
+    nsum = _make_nsum(HW, W)
+    n_deg0 = n_knots - 1
+
+    n_coeff = n_deg0 - spline_order
+
+    def head_half(x, gw_ref, wb_ref, sw_ref, lab_ref, lw_ref, acc):
+        """Accumulate one feature half's head output into acc (C_pad, b).
+
+        x: (HW, b) features; gw_ref: (n_coeff, HW, k+2) per-coefficient
+        knot windows (gw[c, :, i] = grid[:, c+i]); wb_ref: (C_pad, HW);
+        sw_ref: (n_coeff, C_pad, HW) pre-scaled spline weights; lab_ref:
+        (K, HW, 2) packed logistic (a, b); lw_ref: (K, C_pad, HW)
+        pre-scaled logistic weights.  Everything coefficient-major so a
+        ``fori_loop`` body takes a cheap dynamic leading-dim slice.
+        """
+        f32 = jnp.float32
+        acc = acc + jnp.dot(wb_ref[:], x * jax.nn.sigmoid(x),
+                            preferred_element_type=f32)
+
+        # Per-coefficient de Boor triangle inside a REAL fori_loop: basis
+        # c only needs knots c..c+k+1, so one body keeps at most
+        # spline_order+1 (HW, b) planes live — and the loop is the part
+        # Mosaic cannot hoist across.  (Both a shared 11-plane Cox-de
+        # Boor recursion and a Python-unrolled triangle OOM the 16 MiB
+        # scoped-VMEM stack at block_b=128 — measured 65.6 / 84.1 MiB:
+        # the stack allocator keeps every unrolled plane live.)  The
+        # triangle recomputes ~2x the VPU flops, which are free next to
+        # the rollout.
+        def spline_coeff(c, acc):
+            win = gw_ref[pl.ds(c, 1), :, :]
+            g = lambda i: win[0, :, i:i + 1]               # noqa: E731
+            b = [jnp.logical_and(x >= g(i), x < g(i + 1)).astype(f32)
+                 for i in range(spline_order + 1)]
+            for k in range(1, spline_order + 1):
+                b = [(x - g(i)) / (g(i + k) - g(i)) * b[i]
+                     + (g(i + k + 1) - x)
+                     / (g(i + k + 1) - g(i + 1)) * b[i + 1]
+                     for i in range(len(b) - 1)]
+            sw_c = sw_ref[pl.ds(c, 1), :, :]
+            return acc + jnp.dot(sw_c[0], b[0], preferred_element_type=f32)
+
+        acc = jax.lax.fori_loop(0, n_coeff, spline_coeff, acc)
+
+        if n_logistic:
+            def logistic_coeff(c, acc):
+                lab = lab_ref[pl.ds(c, 1), :, :][0]
+                phi = 2.0 * jax.nn.sigmoid(lab[:, 0:1] * (x - lab[:, 1:2]))
+                lw_c = lw_ref[pl.ds(c, 1), :, :]
+                return acc + jnp.dot(lw_c[0], phi,
+                                     preferred_element_type=f32)
+
+            acc = jax.lax.fori_loop(0, n_logistic, logistic_coeff, acc)
+        return acc
+
+    def kernel(th0_ref, om_ref, k_ref, ml_ref, mr_ref,
+               gwc_ref, gws_ref, wbc_ref, wbs_ref, swc_ref, sws_ref,
+               labc_ref, labs_ref, lwc_ref, lws_ref,
+               out_ref):
+        om, kc = om_ref[:], k_ref[0, 0]
+        ml, mr = ml_ref[:], mr_ref[:]
+
+        def body(_, th):
+            s, c = jnp.sin(th), jnp.cos(th)
+            coup = c * nsum(s, ml, mr) - s * nsum(c, ml, mr)
+            return th + dt * (om + kc * coup)
+
+        th = jax.lax.fori_loop(0, steps, body, th0_ref[:])
+
+        acc = jnp.zeros((C_pad, th.shape[1]), jnp.float32)
+        acc = head_half(jnp.cos(th), gwc_ref, wbc_ref, swc_ref,
+                        labc_ref, lwc_ref, acc)
+        acc = head_half(jnp.sin(th), gws_ref, wbs_ref, sws_ref,
+                        labs_ref, lws_ref, acc)
+        out_ref[:] = acc
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=8)
+def make_kuramoto_fused_classifier(H, W, steps, dt, n_knots, spline_order,
+                                   n_logistic, num_classes, block_b=128,
+                                   interpret=False):
+    """Whole-model forward: rollout + KANLinear head in ONE kernel launch.
+
+    Returns ``fused(omega, K, theta0, grid, wb, sw, la, lb, lw) -> logits``
+    with theta0 (B, H*W), grid (2HW, n_knots), wb (C, 2HW), sw pre-scaled
+    (C, 2HW, n_coeff), la/lb (2HW, K), lw pre-scaled (C, 2HW, K), logits
+    (B, C).  Differentiable: the VJP recomputes through the rollout
+    kernel's discrete adjoint + the XLA head (exact same math), so
+    training with the fused path stays correct — its win is inference,
+    where the basis tensors never leave VMEM.
+    """
+    f32 = jnp.float32
+    HW = H * W
+    n_deg0 = n_knots - 1
+    C_pad = max(8, -(-num_classes // 8) * 8)
+
+    # The head loops are real fori_loops, so live VMEM is one loop body
+    # (spline_order+1 basis planes + temporaries + the rollout's working
+    # planes), NOT the coefficient count; shrink the batch block
+    # pre-emptively rather than dying inside Mosaic.  The plane constant
+    # is CALIBRATED on chip: Mosaic's stack measured 17.32 MiB at MNIST
+    # shape (H*W=784, spline_order=3, block_b=128) = 43.1 planes of
+    # (HW, block_b) f32 — the allocator keeps far more live than the
+    # dataflow minimum.  The pallas_call raises the scoped limit to 64
+    # MiB; this guard keeps the stack clear of that raised ceiling.
+    def _live_bytes(bb):
+        return (spline_order + 41) * HW * bb * 4
+
+    _FUSED_BUDGET = 56 * 2**20
+    while block_b > 8 and _live_bytes(block_b) > _FUSED_BUDGET:
+        block_b //= 2
+    if _live_bytes(block_b) > _FUSED_BUDGET:
+        raise ValueError(
+            f"kuramoto fused head needs ~{_live_bytes(block_b)/2**20:.1f} MiB"
+            f" of VMEM at block_b={block_b} (H*W={HW}, n_knots={n_knots}) — "
+            f"over the ~{_FUSED_BUDGET/2**20:.0f} MiB budget. Use "
+            "rollout='pallas' (unfused head) instead.")
+
+    maskl, maskr = _row_masks(H, W)
+
+    def _blocks(rows):
+        nblk = -(-rows // block_b)
+        return nblk, nblk * block_b - rows
+
+    full = lambda *shape: pl.BlockSpec(  # noqa: E731 — whole-array block
+        shape, lambda i: (0,) * len(shape))
+
+    def _pad_c(a):
+        return jnp.pad(a.astype(f32), ((0, C_pad - a.shape[0]),)
+                       + ((0, 0),) * (a.ndim - 1))
+
+    def _fwd(omega, kc, theta0, grid, wb, sw, la, lb, lw):
+        B = theta0.shape[0]
+        nblk, pad = _blocks(B)
+        tht = jnp.pad(theta0.T.astype(f32), ((0, 0), (0, pad)))
+        grid = grid.astype(f32)
+        wb = _pad_c(wb)
+
+        def _coeff_major(a):  # (C, 2HW, k) -> (k, C_pad, 2HW)
+            a = a.transpose(2, 0, 1).astype(f32)
+            return jnp.pad(a, ((0, 0), (0, C_pad - a.shape[1]), (0, 0)))
+
+        sw, lw = _coeff_major(sw), _coeff_major(lw)
+        n_coeff = n_knots - spline_order - 1
+        # per-coefficient knot windows: gw[c, :, i] = grid[:, c+i] —
+        # leading-dim (untiled) layout so the kernel's fori body can
+        # dynamic-slice one window; likewise pack logistic (a, b).
+        gw = jnp.stack([grid[:, c:c + spline_order + 2]
+                        for c in range(n_coeff)])        # (n_coeff, 2HW, k+2)
+        lab = jnp.stack([la.T.astype(f32), lb.T.astype(f32)],
+                        axis=-1)                         # (K, 2HW, 2)
+        halves = []
+        for sl in (slice(0, HW), slice(HW, 2 * HW)):
+            halves += [gw[:, sl], wb[:, sl], sw[:, :, sl], lab[:, sl],
+                       lw[:, :, sl]]
+        (gwc, wbc, swc, labc, lwc, gws, wbs, sws, labs, lws) = halves
+        inputs = [tht, omega.reshape(HW, 1).astype(f32),
+                  jnp.asarray(kc, f32).reshape(1, 1),
+                  jnp.asarray(maskl), jnp.asarray(maskr),
+                  gwc, gws, wbc, wbs, swc, sws, labc, labs, lwc, lws]
+        K = max(n_logistic, 1)
+        out = pl.pallas_call(
+            _make_fused_kernel(HW, W, steps, dt, n_knots, spline_order,
+                               n_logistic, C_pad),
+            grid=(nblk,),
+            out_shape=jax.ShapeDtypeStruct((C_pad, nblk * block_b), f32),
+            in_specs=[pl.BlockSpec((HW, block_b), lambda i: (0, i)),
+                      full(HW, 1), full(1, 1), full(HW, 1), full(HW, 1),
+                      full(n_coeff, HW, spline_order + 2),
+                      full(n_coeff, HW, spline_order + 2),
+                      full(C_pad, HW), full(C_pad, HW),
+                      full(n_coeff, C_pad, HW), full(n_coeff, C_pad, HW),
+                      full(K, HW, 2), full(K, HW, 2),
+                      full(K, C_pad, HW), full(K, C_pad, HW)],
+            out_specs=pl.BlockSpec((C_pad, block_b), lambda i: (0, i)),
+            interpret=interpret,
+            # Mosaic's default scoped-vmem limit is 16 MiB; the head's
+            # stack measures 17.32 MiB at MNIST shape (H*W=784,
+            # block_b=128) on a real chip — raise the limit as the other
+            # whole-solve kernels do (ops/pallas_node_common.py) and let
+            # _live_bytes guard the physical budget.
+            **({} if interpret else {"compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 2**20)}),
+        )(*inputs)
+        return out[:num_classes, :B].T
+
+    def _head_ref(feat, grid, wb, sw, la, lb, lw):
+        """XLA reference of the in-kernel head math (for the VJP path)."""
+        from fetode_tpu.ops.bsplines import bspline_basis
+
+        B = feat.shape[0]
+        y = jnp.dot(jax.nn.silu(feat), wb.T, preferred_element_type=f32)
+        bases = bspline_basis(feat, grid, spline_order)
+        y = y + jnp.dot(bases.reshape(B, -1),
+                        sw.reshape(sw.shape[0], -1).T,
+                        preferred_element_type=f32)
+        if n_logistic:
+            phi = 2.0 * jax.nn.sigmoid(la * (feat[..., None] - lb))
+            y = y + jnp.dot(phi.reshape(B, -1),
+                            lw.reshape(lw.shape[0], -1).T,
+                            preferred_element_type=f32)
+        return y
+
+    rollout = make_kuramoto_rollout(H, W, steps, dt, block_b=block_b,
+                                    interpret=interpret)
+
+    def _ref(omega, kc, theta0, grid, wb, sw, la, lb, lw):
+        return _head_ref(rollout(omega, kc, theta0), grid, wb, sw, la, lb, lw)
+
+    @jax.custom_vjp
+    def fused(omega, kc, theta0, grid, wb, sw, la, lb, lw):
+        return _fwd(omega, kc, theta0, grid, wb, sw, la, lb, lw)
+
+    def fwd(*args):
+        return _fwd(*args), args
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(_ref, *res)
+        return vjp(ct)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def pallas_kuramoto_logits(params, spec, x_img, *, interpret=None):
+    """Fused whole-classifier forward (``rollout='pallas_fused'``): Kuramoto
+    phase rollout AND the KANLinear head in one kernel — the basis
+    expansions (``(B, 2HW, G+k)`` spline + ``(B, 2HW, K)`` logistic) stay
+    in VMEM instead of round-tripping HBM.  Head math matches
+    ``nn.kan.kan_linear_apply`` on the head config
+    (reference: ``mnist_kuramoto_kan.py:207-283``)."""
+    import math
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if x_img.ndim == 4:
+        x_img = x_img[:, 0]
+    B = x_img.shape[0]
+    theta0 = (math.pi * (2.0 * x_img - 1.0)).reshape(B, spec.H * spec.W)
+
+    cfg = spec.head_cfg
+    head = params["head"]
+    sw = head["spline_weight"]
+    if cfg.standalone_spline_scaler:
+        sw = sw * head["spline_scaler"][..., None]
+    if cfg.logistic_num_basis:
+        lp = head["logistic"]
+        lw = lp["weight"] * cfg.scale_logistic
+        if cfg.standalone_logistic_scaler:
+            lw = lw * lp["scaler"][:, None]
+        lw = lw.reshape(cfg.out_features, cfg.in_features,
+                        cfg.logistic_num_basis)
+        la, lb = lp["a"], lp["b"]
+    else:
+        la = lb = jnp.zeros((cfg.in_features, 1), jnp.float32)
+        lw = jnp.zeros((cfg.out_features, cfg.in_features, 1), jnp.float32)
+
+    grid = head["_buffers"]["grid"]
+    fn = make_kuramoto_fused_classifier(
+        spec.H, spec.W, spec.steps, spec.dt, grid.shape[1], cfg.spline_order,
+        cfg.logistic_num_basis, cfg.out_features, interpret=interpret)
+    return fn(params["omega"], params["K"], theta0, grid,
+              head["base_weight"], sw, la, lb, lw)
+
+
 def pallas_kuramoto_features(params, spec, x_img, *, interpret=None):
     """Drop-in replacement for ``kuramoto_features`` (same layout) running
     the whole rollout + adjoint in one kernel pair."""
     import math
 
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        # Compiled Mosaic kernels with pltpu.VMEM scratch only lower on
+        # TPU; every other backend (cpu tests, hypothetical gpu) takes
+        # the interpreter, which is bit-faithful if slow.
+        interpret = jax.default_backend() != "tpu"
     if x_img.ndim == 4:
         x_img = x_img[:, 0]
     B = x_img.shape[0]

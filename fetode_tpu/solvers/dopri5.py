@@ -52,6 +52,45 @@ class Dopri5Stats(NamedTuple):
     success: jax.Array  # integration reached ts[-1] within max_steps
 
 
+def is_under_autodiff(*trees) -> bool:
+    """True when any leaf of ``trees`` is being traced for differentiation
+    *right now* (a JVP/linearize tracer anywhere in its tracer ancestry).
+
+    This is what ``mode="auto"`` keys on.  Known blind spots — all of
+    which fail LOUDLY (``lax.while_loop`` raises on reverse transpose)
+    rather than silently picking a slow path: differentiating across a
+    ``jit`` / ``jax.checkpoint`` / ``lax.scan``-body boundary, where JAX
+    differentiates the traced jaxpr symbolically and the inner trace only
+    sees plain abstract tracers.  Callers differentiating through such a
+    boundary must pass ``mode="scan"`` explicitly.  The repo's own
+    training loops apply ``value_and_grad`` directly around the loss, so
+    the solve always sees the AD tracers (tests/test_solvers.py:
+    test_auto_mode).
+    """
+    from jax._src.interpreters import ad as _ad
+
+    ad_tracers = (_ad.JVPTracer, _ad.LinearizeTracer)
+    stack = [leaf for tree in trees
+             for leaf in jax.tree_util.tree_leaves(tree)]
+    seen: set = set()
+    while stack:
+        v = stack.pop()
+        if id(v) in seen:
+            continue
+        seen.add(id(v))
+        if isinstance(v, ad_tracers):
+            return True
+        if isinstance(v, jax.core.Tracer):
+            # Descend through wrapper tracers (batching .val, AD .primal/
+            # .tangent) — e.g. vmap-of-grad wraps the JVP tracer inside a
+            # BatchTracer.
+            for attr in ("primal", "tangent", "val"):
+                sub = getattr(v, attr, None)
+                if sub is not None:
+                    stack.append(sub)
+    return False
+
+
 def _initial_step(func, t0, y0, f0, rtol, atol, args):
     """Hairer's automatic initial step size (Solving ODEs I, II.4)."""
     def rms(tree, ref):
@@ -121,7 +160,7 @@ def odeint_dopri5(
     safety: float = 0.9,
     ifactor: float = 10.0,
     dfactor: float = 0.2,
-    mode: str = "scan",
+    mode: str = "auto",
     checkpoint: bool = True,
     norm_fn: Callable = error_norm,
     full_output: bool = False,
@@ -131,8 +170,15 @@ def odeint_dopri5(
 
     Args:
       ts: (T,) increasing output times; integration runs [ts[0], ts[-1]].
-      mode: 'scan' (bounded, differentiable) or 'while' (early exit,
-        forward-only).
+      mode: 'auto' (default), 'scan' (bounded, differentiable) or 'while'
+        (early exit, forward-only).  'auto' resolves per trace:
+        'scan' when the call is under differentiation (detected via
+        :func:`is_under_autodiff`), else 'while' — a no-grad
+        ``jax.checkpoint``-ed scan compiles pathologically slowly
+        (measured 4 min vs 2 s), so inference must never pay it by
+        default.  Pass 'scan' explicitly if you differentiate across a
+        jit/checkpoint/scan-body boundary (the detector cannot see
+        through those; the while path fails loudly if you forget).
       norm_fn: error norm ``(y_err, y0, y1, rtol, atol) -> scalar``;
         override to exclude auxiliary state leaves from step control.
       unroll: scan-mode body unroll factor (must divide max_steps when >1).
@@ -145,11 +191,23 @@ def odeint_dopri5(
       Trajectory pytree with leading axis T (and ``Dopri5Stats`` when
       ``full_output``).
     """
+    if mode not in ("auto", "scan", "while"):
+        raise ValueError(f"odeint_dopri5 mode={mode!r}: expected "
+                         "'auto', 'scan' or 'while'")
+    if unroll > 1 and max_steps % unroll:
+        # Static-argument error: reject regardless of which mode ends up
+        # executing (auto may resolve to 'while', which ignores unroll).
+        raise ValueError(f"unroll={unroll} must divide max_steps={max_steps}")
     ts = jnp.asarray(ts)
     t0, t_final = ts[0], ts[-1]
     tiny = jnp.asarray(1e-12, ts.dtype)
 
     f0 = func(t0, y0, *args)
+    if mode == "auto":
+        # f0 carries the tracers of everything the field closes over
+        # (params), so checking it alongside the explicit inputs covers
+        # the closed-over-parameters pattern every model here uses.
+        mode = "scan" if is_under_autodiff(y0, ts, f0, args) else "while"
     dt0 = jax.lax.stop_gradient(_initial_step(func, t0, y0, f0, rtol, atol, args))
     dt0 = jnp.minimum(dt0, t_final - t0)
 
@@ -224,9 +282,6 @@ def odeint_dopri5(
             return (c["t"] < t_final - tiny) & (c["n_acc"] + c["n_rej"] < max_steps)
         carry = jax.lax.while_loop(cond, attempt, carry0)
     else:
-        if unroll > 1 and max_steps % unroll:
-            raise ValueError(f"unroll={unroll} must divide max_steps={max_steps}")
-
         def seg(c, _):
             for _i in range(max(1, unroll)):
                 c = attempt(c)

@@ -121,3 +121,82 @@ def test_spec_dispatch_full_model(setup):
     out = kuramoto_kan_apply(params, spec_pal, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-5, rtol=5e-5)
+
+
+# ------------------------------------------------------------- fused head
+
+
+def test_fused_logits_parity(setup):
+    """pallas_fused (rollout + KANLinear head in one kernel) matches the
+    scan-path logits, including the logistic branch."""
+    spec, params, x = setup
+    out = kuramoto_kan_apply(params, spec._replace(rollout="pallas_fused"),
+                             x)
+    ref = kuramoto_kan_apply(params, spec, x)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+
+
+def test_fused_logits_parity_multiblock(setup):
+    """Batch spanning several grid blocks (block_b=8, B=20)."""
+    from fetode_tpu.ops.pallas_kuramoto import make_kuramoto_fused_classifier
+
+    spec, params, x = setup
+    xb = jnp.tile(x, (4, 1, 1))[:20]
+    ref = kuramoto_kan_apply(params, spec, xb)
+    cfg = spec.head_cfg
+    head = params["head"]
+    sw = head["spline_weight"] * head["spline_scaler"][..., None]
+    lp = head["logistic"]
+    lw = (lp["weight"] * lp["scaler"][:, None]).reshape(
+        cfg.out_features, cfg.in_features, cfg.logistic_num_basis)
+    grid = head["_buffers"]["grid"]
+    fn = make_kuramoto_fused_classifier(
+        spec.H, spec.W, spec.steps, spec.dt, grid.shape[1],
+        cfg.spline_order, cfg.logistic_num_basis, cfg.out_features,
+        block_b=8, interpret=True)
+    theta0 = (np.pi * (2.0 * xb - 1.0)).reshape(20, spec.H * spec.W)
+    out = fn(params["omega"], params["K"], theta0, grid,
+             head["base_weight"], sw, lp["a"], lp["b"], lw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+
+
+def test_fused_grad_parity_vs_scan(setup):
+    """Training through the fused path (VJP = rollout adjoint kernel + XLA
+    head) matches the scan path's autodiff for every parameter leaf."""
+    import optax
+
+    spec, params, x = setup
+    labels = jnp.arange(x.shape[0]) % spec.num_classes
+
+    def loss(p, sp):
+        logits = kuramoto_kan_apply(p, sp, x)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels).mean()
+
+    g_ref = jax.grad(loss)(params, spec)
+    g_fus = jax.grad(loss)(params, spec._replace(rollout="pallas_fused"))
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_fus = jax.tree_util.tree_leaves(g_fus)
+    for (path, a), b in zip(flat_ref, flat_fus):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-4, rtol=3e-4,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
+def test_fused_no_logistic_branch(setup):
+    """Head without the logistic branch (logistic_num_basis=0) takes the
+    dummy-zero path in the kernel and still matches."""
+    spec, params, x = setup
+    spec0 = spec._replace(num_basis=0)
+    key = jax.random.PRNGKey(9)
+    from fetode_tpu.models.kuramoto import kuramoto_init
+    p0 = kuramoto_init(key, spec0)
+    p0["omega"] = params["omega"]
+    p0["K"] = params["K"]
+    ref = kuramoto_kan_apply(p0, spec0, x)
+    out = kuramoto_kan_apply(p0, spec0._replace(rollout="pallas_fused"), x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)

@@ -238,3 +238,81 @@ def test_dopri5_unroll_checkpoint_gradients(unroll, checkpoint):
     g = jax.grad(lambda s: loss(s, unroll=unroll, checkpoint=checkpoint))(1.0)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------- auto mode
+
+
+def test_auto_mode_no_grad_is_while():
+    """mode='auto' (the default) must lower a NO-GRAD solve to the
+    early-exit while_loop — a no-grad checkpointed scan compiles
+    pathologically slowly (measured 4 min vs 2 s on the flagship spec;
+    the round-3 cli.py carried per-call-site workarounds for this)."""
+    ts = jnp.linspace(0.0, 1.0, 5, dtype=jnp.float32)
+    y0 = jnp.ones(3, jnp.float32)
+
+    jaxpr = jax.make_jaxpr(lambda y: odeint_dopri5(exp_field, y, ts))(y0)
+    prims = {eq.primitive.name for eq in jaxpr.eqns}
+    assert "while" in prims
+    assert "scan" not in prims
+
+    out_auto = odeint_dopri5(exp_field, y0, ts)
+    out_scan = odeint_dopri5(exp_field, y0, ts, mode="scan")
+    out_while = odeint_dopri5(exp_field, y0, ts, mode="while")
+    np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_while))
+    np.testing.assert_allclose(np.asarray(out_auto), np.asarray(out_scan),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_auto_mode_under_grad_is_scan_and_matches_explicit():
+    ts = jnp.linspace(0.0, 1.0, 5, dtype=jnp.float32)
+    y0 = jnp.ones(3, jnp.float32)
+
+    jaxpr = jax.make_jaxpr(
+        jax.grad(lambda y: odeint_dopri5(exp_field, y, ts).sum()))(y0)
+    assert "scan" in {eq.primitive.name for eq in jaxpr.eqns}
+
+    g_auto = jax.grad(lambda y: odeint_dopri5(exp_field, y, ts).sum())(y0)
+    g_scan = jax.grad(
+        lambda y: odeint_dopri5(exp_field, y, ts, mode="scan").sum())(y0)
+    np.testing.assert_allclose(np.asarray(g_auto), np.asarray(g_scan),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_auto_mode_detects_closed_over_params_under_value_and_grad():
+    """The repo's training pattern: jit(value_and_grad(loss)) where the
+    field closes over the differentiated params."""
+    ts = jnp.linspace(0.0, 1.0, 4, dtype=jnp.float32)
+    y0 = jnp.ones(2, jnp.float32)
+
+    def loss(p):
+        return odeint_dopri5(lambda t, y: -p * y, y0, ts).sum()
+
+    v_auto, g_auto = jax.jit(jax.value_and_grad(loss))(jnp.float32(0.7))
+    v_scan, g_scan = jax.jit(jax.value_and_grad(
+        lambda p: odeint_dopri5(lambda t, y: -p * y, y0, ts,
+                                mode="scan").sum()))(jnp.float32(0.7))
+    np.testing.assert_allclose(float(v_auto), float(v_scan), rtol=1e-6)
+    np.testing.assert_allclose(float(g_auto), float(g_scan), rtol=1e-5)
+
+
+def test_auto_mode_blind_spot_fails_loudly():
+    """Differentiating across a jit boundary hides the AD tracers from the
+    detector; auto then picks 'while', which must FAIL (reverse-mode
+    through while_loop is unsupported) rather than silently degrade —
+    the documented contract is to pass mode='scan' there."""
+    ts = jnp.linspace(0.0, 1.0, 4, dtype=jnp.float32)
+    y0 = jnp.ones(2, jnp.float32)
+
+    @jax.jit
+    def solve_sum(p):
+        return odeint_dopri5(lambda t, y: -p * y, y0, ts).sum()
+
+    with pytest.raises(Exception):
+        jax.grad(solve_sum)(jnp.float32(0.7))
+
+
+def test_bad_mode_rejected():
+    ts = jnp.linspace(0.0, 1.0, 3, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="mode"):
+        odeint_dopri5(exp_field, jnp.ones(2), ts, mode="scna")
