@@ -1,0 +1,105 @@
+"""Population vs sequential wall-clock for the ECG noise-robustness study.
+
+The reference's clean-vs-noisy harness (``compare_noise_ecg.py:1250-1452``)
+trains seeds x noise-levels one run at a time; each run is latency-bound
+at <0.4% of either chip peak (round-3 roofline), so N sequential runs
+waste ~N x the hardware.  ``train_ecg_population`` runs the whole grid as
+ONE vmapped program.  This script measures both paths on the same grid
+and budget, checks the member curves agree, and writes
+``benchmarks/ecg200_population_study.json``.
+
+Usage: python benchmarks/run_population_study.py [epochs] [epochs_per_call]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from fetode_tpu.data.ecg200 import load_ecg200, synthetic_ecg200
+from fetode_tpu.models import ecg as M
+from fetode_tpu.train.ecg_driver import (ECGRun, train_ecg_model,
+                                         train_ecg_population)
+
+
+def main():
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    epc = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    try:
+        data = load_ecg200()
+        source = "ECG200 (UCR)"
+    except FileNotFoundError:
+        data = synthetic_ecg200()
+        source = "synthetic stand-in"
+    T = data[0].shape[1]
+
+    stds = (0.0, 0.1, 0.2, 0.5)
+    seeds = (0, 1, 2)
+    members = [(std, seed) for std in stds for seed in seeds]
+    run = ECGRun(epochs=epochs, batch_size=8, epochs_per_call=epc,
+                 eval_noise_draws=4, log_every=1000)
+
+    # --- population: one program for the whole grid --------------------
+    spec = M.KanFetMLPNODESpec(T=T, solver="rk4", n_steps=8)
+    init_fn = lambda k: M.kanfet_mlp_node_init(k, spec)        # noqa: E731
+    pop_apply = lambda p, x, key, std: M.kanfet_mlp_node_apply(  # noqa: E731
+        p, spec, x, noise_key=key, noise_std=std)
+    t0 = time.perf_counter()
+    _, pop_hists = train_ecg_population(init_fn, pop_apply, data, run,
+                                        members, log=None)
+    pop_wall = time.perf_counter() - t0
+
+    # --- sequential: the compare_noise shape, one run per member -------
+    t0 = time.perf_counter()
+    seq_hists = []
+    for std, seed in members:
+        sspec = M.KanFetMLPNODESpec(T=T, solver="rk4", n_steps=8,
+                                    noise_std=std)
+        s_init = lambda k, s=sspec: M.kanfet_mlp_node_init(k, s)
+        s_apply = (lambda p, x, key, s=sspec, sd=std:
+                   M.kanfet_mlp_node_apply(
+                       p, s, x, noise_key=key if sd > 0 else None))
+        _, hist = train_ecg_model(s_init, s_apply, data,
+                                  dataclasses.replace(run, seed=seed),
+                                  log=None)
+        seq_hists.append(hist)
+    seq_wall = time.perf_counter() - t0
+
+    # --- parity + report ------------------------------------------------
+    max_dev = 0.0
+    for h_pop, h_seq in zip(pop_hists, seq_hists):
+        for key in ("loss", "test_acc"):
+            dev = float(np.abs(np.asarray(h_pop[key])
+                               - np.asarray(h_seq[key])).max())
+            max_dev = max(max_dev, dev)
+
+    out = {
+        "source": source,
+        "epochs": epochs,
+        "epochs_per_call": epc,
+        "members": [[float(s), int(sd)] for s, sd in members],
+        "population_wall_seconds": pop_wall,
+        "sequential_wall_seconds": seq_wall,
+        "speedup": seq_wall / pop_wall,
+        "max_curve_deviation": max_dev,
+        "best_test_acc": {
+            f"std{std}_seed{seed}": h["best_test_acc"]
+            for (std, seed), h in zip(members, pop_hists)
+        },
+    }
+    path = os.path.join(os.path.dirname(__file__),
+                        "ecg200_population_study.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

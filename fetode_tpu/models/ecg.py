@@ -79,7 +79,7 @@ class KanFetNODESpec(NamedTuple):
                                 # KanFetMLPNODESpec.max_steps note
     h_bound: float = 1.0
     init_out_std: float = 1e-3
-    solver_mode: str = "scan"
+    solver_mode: str = "auto"   # dopri5: scan under AD, while for no-grad eval
 
     @property
     def kan_cfg(self) -> KANConfig:
@@ -187,7 +187,7 @@ class KanFetMLPNODESpec(NamedTuple):
     h_bound: float = 1.0
     dh_clip: float = 50.0
     noise_std: float = 0.0      # >0: NoisyFerroelectricBasis semantics
-    solver_mode: str = "scan"
+    solver_mode: str = "auto"   # dopri5: scan under AD, while for no-grad eval
     state_dtype: str = ""       # "" = input dtype; "bfloat16" halves the
                                 # hysteresis-state HBM traffic
     pallas_layout: str = "loop"  # "loop" (per-sample fori) or "vec"
@@ -218,7 +218,8 @@ def kanfet_mlp_node_init(key, spec: KanFetMLPNODESpec, dtype=jnp.float32):
 
 
 def kanfet_mlp_node_field(params, spec: KanFetMLPNODESpec, t, h, states,
-                          noise_keys=None, per_eval_noise=True):
+                          noise_keys=None, per_eval_noise=True,
+                          noise_std=None):
     """Two-layer ferro field with the reference's stability armor
     (train_ecg.py:1002-1011): latent tanh bound, non-finite scrub, slope
     clamp.  Hysteresis state is frozen during the solve.
@@ -246,16 +247,16 @@ def kanfet_mlp_node_field(params, spec: KanFetMLPNODESpec, t, h, states,
             k1, k2 = (jax.random.fold_in(k, ti) for k in (k1, k2))
     h = spec.h_bound * jnp.tanh(h / spec.h_bound)
     z, _ = ferro_apply(FerroParams(**params["fc1"]), s1, h, spec.fc1_cfg,
-                       noise_key=k1)
+                       noise_key=k1, noise_std=noise_std)
     z = jnp.tanh(z)
     dh, _ = ferro_apply(FerroParams(**params["fc2"]), s2, z, spec.fc2_cfg,
-                        noise_key=k2)
+                        noise_key=k2, noise_std=noise_std)
     dh = jnp.nan_to_num(dh, nan=0.0, posinf=1e3, neginf=-1e3)
     return jnp.clip(dh, -spec.dh_clip, spec.dh_clip)
 
 
 def kanfet_mlp_node_apply(params, spec: KanFetMLPNODESpec, x, *,
-                          noise_key=None, mesh=None):
+                          noise_key=None, noise_std=None, mesh=None):
     """x (B, T) -> logits. One batched solve (no per-sample loop).
 
     ``solver_mode="pallas"`` routes the latent solve through the
@@ -266,7 +267,14 @@ def kanfet_mlp_node_apply(params, spec: KanFetMLPNODESpec, x, *,
     (``pallas_ferro_node_solve_sharded``; GSPMD cannot partition the
     custom call itself).  The scan path needs no mesh argument — its
     sharding comes entirely from the input placement.
+
+    ``noise_std`` (traced) overrides ``spec.noise_std`` for population
+    training (one ``vmap``-ed member per device-noise level); XLA solve
+    paths only — the whole-solve kernel keeps the static spec value.
     """
+    if noise_std is not None and spec.solver_mode == "pallas":
+        raise ValueError("traced noise_std override requires an XLA solve "
+                         "path (solver_mode != 'pallas')")
     B = x.shape[0]
     h0 = x @ params["encoder_w"].T + params["encoder_b"]
     if (spec.solver_mode == "pallas" and spec.solver == "dopri5"
@@ -295,7 +303,8 @@ def kanfet_mlp_node_apply(params, spec: KanFetMLPNODESpec, x, *,
 
     def rhs(t, h):
         return kanfet_mlp_node_field(params, spec, t, h, states, nkeys,
-                                     per_eval_noise=per_eval)
+                                     per_eval_noise=per_eval,
+                                     noise_std=noise_std)
 
     if spec.solver == "dopri5":
         ts = jnp.asarray([0.0, 1.0], x.dtype)

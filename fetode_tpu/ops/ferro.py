@@ -74,6 +74,14 @@ class FerroConfig(NamedTuple):
     alpha: float = 0.8
     noise_std: float = 0.0
     update_branch: bool = True
+    # Branch-gate sigmoid implementation: "sigmoid" (XLA logistic — the
+    # bit-reference) or "tanh" (sigma(z) = (1+tanh(z/2))/2, exact to ~1
+    # ulp).  On v5e the VPU evaluates tanh at 3.4 T elem/s vs 0.38 T for
+    # the logistic lowering (measured, benchmarks/ferro_ceiling_tpu.json);
+    # "tanh" makes the op +12% (f32 state) / +22% (bf16 state) at the
+    # claim shape.  Default stays "sigmoid" for bit-parity with the
+    # in-repo oracles; perf-critical configs opt in.
+    gate_impl: str = "sigmoid"
 
 
 def ferro_init(key, cfg: FerroConfig, dtype=jnp.float32,
@@ -117,12 +125,19 @@ def ferro_basis(
     cfg: FerroConfig,
     *,
     noise_key: jax.Array | None = None,
+    noise_std: jax.Array | None = None,
 ):
     """Evaluate the hysteresis basis tensor and advance the state.
 
     Args:
       x: (..., in_dim) applied field.
       noise_key: PRNG key for device noise; required iff ``cfg.noise_std > 0``.
+      noise_std: optional TRACED override of ``cfg.noise_std`` — lets a
+        population (``vmap``-ed config) run carry a different device-noise
+        level per member without recompiling.  When given, the noise branch
+        always executes (a member with std 0.0 adds an exact zero, so its
+        outputs and gradients match the ungated path bit-for-bit) and
+        ``noise_key`` is required.
 
     Returns:
       ``(basis, new_state)`` with ``basis: (..., in, out, K)``.
@@ -131,10 +146,17 @@ def ferro_basis(
     prev = jax.lax.stop_gradient(state.prev_x)[..., :, None, None]
     branch_prev = jax.lax.stop_gradient(state.branch)              # (..., in, out, K)
 
+    if cfg.gate_impl == "tanh":
+        sig = lambda z: 0.5 + 0.5 * jnp.tanh(0.5 * z)   # noqa: E731
+    elif cfg.gate_impl == "sigmoid":
+        sig = jax.nn.sigmoid
+    else:
+        raise ValueError(f"FerroConfig.gate_impl={cfg.gate_impl!r}: "
+                         "expected 'sigmoid' or 'tanh'")
     g = cfg.gate_slope
-    moving_up = jax.nn.sigmoid(g * (xe - prev))                    # (..., in, 1, 1)
-    crossed_pos = jax.nn.sigmoid(g * (xe - params.ec))             # (..., in, out, K)
-    crossed_neg = jax.nn.sigmoid(g * (-xe - params.ec))
+    moving_up = sig(g * (xe - prev))                               # (..., in, 1, 1)
+    crossed_pos = sig(g * (xe - params.ec))                        # (..., in, out, K)
+    crossed_neg = sig(g * (-xe - params.ec))
 
     switch_up = moving_up * crossed_pos
     switch_down = (1.0 - moving_up) * crossed_neg
@@ -146,10 +168,11 @@ def ferro_basis(
 
     basis = params.ps * jnp.tanh(params.k * (xe + params.ec * branch)) + params.bias
 
-    if cfg.noise_std > 0.0:
+    if noise_std is not None or cfg.noise_std > 0.0:
         if noise_key is None:
             raise ValueError("noise_std > 0 requires a noise_key")
-        noise = jax.random.normal(noise_key, basis.shape, basis.dtype) * cfg.noise_std
+        std = cfg.noise_std if noise_std is None else noise_std
+        noise = jax.random.normal(noise_key, basis.shape, basis.dtype) * std
         basis = basis + jax.lax.stop_gradient(noise)
 
     # Preserve the caller's state dtype: hysteresis state is stop-gradient
@@ -170,6 +193,7 @@ def ferro_apply(
     cfg: FerroConfig,
     *,
     noise_key: jax.Array | None = None,
+    noise_std: jax.Array | None = None,
     return_activations: bool = False,
 ):
     """Full basis layer: weighted sum of basis responses over (in, K).
@@ -180,7 +204,8 @@ def ferro_apply(
     Returns ``(y, new_state)`` or ``(y, new_state, basis)`` when
     ``return_activations`` (the hysteresis-visualiser hook).
     """
-    basis, new_state = ferro_basis(params, state, x, cfg, noise_key=noise_key)
+    basis, new_state = ferro_basis(params, state, x, cfg, noise_key=noise_key,
+                                   noise_std=noise_std)
     y = jnp.einsum("...iok,iok->...o", basis, params.coef)
     if return_activations:
         return y, new_state, basis

@@ -33,7 +33,8 @@ import optax
 
 from fetode_tpu.data.ecg200 import batch_iterator
 from fetode_tpu.train.loop import (init_state, make_minibatch_epoch,
-                                   make_minibatch_epochs_scanner)
+                                   make_minibatch_epochs_scanner,
+                                   make_population_epochs_scanner)
 from fetode_tpu.train.optim import make_optimizer
 
 
@@ -223,6 +224,159 @@ def train_ecg_model(
     history["wall_seconds"] = time.perf_counter() - t0
     history["best_test_acc"] = best[0]
     return best[1], history
+
+
+def train_ecg_population(
+    init_fn: Callable,
+    apply_fn: Callable,
+    data,
+    run: ECGRun,
+    members,
+    log=print,
+):
+    """Train P independent (noise_std, seed) configurations in ONE
+    vmapped program — the TPU-native form of the sequential
+    clean-vs-noisy study (``compare_noise``): each member run is
+    latency-bound at <0.4% of either chip peak, so running them as a
+    population axis recovers ~P x the hardware.
+
+    Args:
+      init_fn: ``key -> params`` (shared architecture across members).
+      apply_fn: ``(params, x, key, noise_std) -> logits`` with
+        ``noise_std`` a TRACED per-member scalar (see
+        ``ops.ferro.ferro_basis(noise_std=...)``); members with std 0.0
+        add an exact zero, so their curves match a clean run bit-for-bit.
+      members: sequence of ``(noise_std, seed)`` pairs.
+
+    Per-member key derivation, shuffle seeding, and epoch-block keying
+    are identical to :func:`train_ecg_model` with the same
+    ``run.epochs_per_call`` (>1 — the block path), so member curves are
+    bit-comparable to sequential runs.  Not supported here: mesh
+    sharding, durable checkpointing, AOT caching, and the pallas
+    whole-solve kernels (population implies the XLA scan paths).
+
+    Returns ``(best_params, histories)``: ``best_params`` is a stacked
+    pytree with leading axis P holding each member's best-test-accuracy
+    snapshot; ``histories`` is a list of P per-member dicts shaped like
+    :func:`train_ecg_model`'s history.
+    """
+    if run.mesh_devices or run.ckpt_dir or run.aot_cache:
+        raise ValueError("train_ecg_population does not support mesh/"
+                         "checkpoint/AOT options — use train_ecg_model")
+    x_train, y_train, x_test, y_test = data
+    P = len(members)
+    stds = jnp.asarray([m[0] for m in members], jnp.float32)
+    seeds = [int(m[1]) for m in members]
+
+    # Identical derivation to train_ecg_model: PRNGKey(seed) split 4 ways.
+    split4 = jax.vmap(lambda k: jax.random.split(k, 4))(
+        jnp.stack([jax.random.PRNGKey(s) for s in seeds]))
+    init_keys, noise_bases, eval_bases = (split4[:, 1], split4[:, 2],
+                                          split4[:, 3])
+    params = jax.vmap(init_fn)(init_keys)
+    tx = make_optimizer(run.lr, kind="adamw", weight_decay=run.weight_decay,
+                        grad_clip=run.grad_clip, params=params)
+    state = jax.vmap(lambda p: init_state(p, tx))(params)
+
+    def loss_fn(p, k, std, xb, yb):
+        return cross_entropy(apply_fn(p, xb, k, std), yb)
+
+    block_fn = make_population_epochs_scanner(loss_fn, tx)
+
+    D = max(1, run.eval_noise_draws)
+    eval_keys = jax.vmap(lambda k: jax.random.split(k, D))(eval_bases)
+
+    @jax.jit
+    def eval_acc(ps, eks, std_v, x, y):
+        def one(p, ek, std):
+            logits = jnp.mean(
+                jnp.stack([apply_fn(p, x, ek[i], std) for i in range(D)]), 0)
+            return accuracy(logits, y)
+        return jax.vmap(one, in_axes=(0, 0, 0))(ps, eks, std_v)
+
+    x_train_j, y_train_j = jnp.asarray(x_train), jnp.asarray(y_train)
+    x_test_j, y_test_j = jnp.asarray(x_test), jnp.asarray(y_test)
+
+    curves = {"loss": [], "train_acc": [], "test_acc": []}
+    best_acc = jnp.full((P,), -1.0, jnp.float32)
+    best_params = state.params
+
+    t0 = time.perf_counter()
+    E = max(1, run.epochs_per_call)
+    for ep in range(0, run.epochs, E):
+        n = min(E, run.epochs - ep)
+        shuffles = [[batch_iterator(x_train, y_train, run.batch_size,
+                                    seed=seed + ep + i) for i in range(n)]
+                    for seed in seeds]
+        eb = (jnp.asarray(np.stack([[b[0] for b in row]
+                                    for row in shuffles])),
+              jnp.asarray(np.stack([[b[1] for b in row]
+                                    for row in shuffles])))
+        bkeys = jax.vmap(lambda k: jax.random.fold_in(k, ep))(noise_bases)
+        state, losses = block_fn(state, bkeys, stds, eb)
+        tr = eval_acc(state.params, eval_keys, stds, x_train_j, y_train_j)
+        te = eval_acc(state.params, eval_keys, stds, x_test_j, y_test_j)
+        curves["loss"].append(losses.mean(axis=(1, 2)))
+        curves["train_acc"].append(tr)
+        curves["test_acc"].append(te)
+        improved = te > best_acc
+        best_acc = jnp.where(improved, te, best_acc)
+        sel = lambda b, nw: jnp.where(  # noqa: E731
+            improved.reshape((P,) + (1,) * (nw.ndim - 1)), nw, b)
+        best_params = jax.tree_util.tree_map(sel, best_params, state.params)
+        if log is not None and (
+                (ep + n - 1) // run.log_every > (ep - 1) // run.log_every
+                or ep + n >= run.epochs):
+            te_np = np.asarray(te)
+            log(f"epoch {ep + n - 1:3d} | population P={P} | test_acc "
+                f"mean {te_np.mean()*100:.1f}% "
+                f"[{te_np.min()*100:.1f}, {te_np.max()*100:.1f}]%")
+    wall = time.perf_counter() - t0
+
+    best_acc = np.asarray(best_acc)
+    stacked = {k: np.asarray(jnp.stack(v, 1)) for k, v in curves.items()}
+    histories = []
+    for i in range(P):
+        histories.append({
+            "loss": stacked["loss"][i].tolist(),
+            "train_acc": stacked["train_acc"][i].tolist(),
+            "test_acc": stacked["test_acc"][i].tolist(),
+            "best_test_acc": float(best_acc[i]),
+            "wall_seconds": wall,   # shared: the population is one program
+        })
+    return best_params, histories
+
+
+def compare_noise_population(
+    init_fn: Callable,
+    apply_fn: Callable,
+    data,
+    noise_stds=(0.0, 0.2),
+    run: ECGRun = ECGRun(),
+    seeds=(0,),
+    log=print,
+):
+    """Population form of :func:`compare_noise`: the full noise-levels x
+    seeds grid as ONE vmapped dispatch (12 runs -> 1 program for the
+    reference's 3-seed x 4-noise study, ``compare_noise_ecg.py:1250-1452``).
+
+    Unlike :func:`compare_noise`, the model factory is a single
+    ``apply_fn(params, x, key, noise_std)`` with the noise level traced.
+    Returns ``{std: {seed: history}}`` (same shape as ``compare_noise``).
+    """
+    members = [(std, seed) for std in noise_stds for seed in seeds]
+    _, hists = train_ecg_population(init_fn, apply_fn, data, run, members,
+                                    log=log)
+    results = {}
+    for (std, seed), hist in zip(members, hists):
+        results.setdefault(std, {})[seed] = hist
+    if log is not None:
+        for std, per_seed in results.items():
+            accs = np.asarray([h["best_test_acc"] for h in per_seed.values()])
+            log(f"noise_std {std}: best test acc "
+                f"{accs.mean()*100:.1f}% +/- {accs.std()*100:.1f}% "
+                f"(seeds {list(per_seed)})")
+    return results
 
 
 def compare_noise(

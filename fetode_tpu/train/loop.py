@@ -155,3 +155,46 @@ def make_minibatch_epochs_scanner(loss_fn: Callable, tx, *,
         return jax.lax.scan(epoch, state, (ekeys, epoch_batches))
 
     return run_keyed
+
+
+def make_population_epochs_scanner(loss_fn: Callable, tx) -> Callable:
+    """Population (vmapped-config) training: P independent runs in ONE
+    device dispatch.
+
+    The sequential study this replaces (the reference's clean-vs-noisy
+    harness, ``compare_noise_ecg.py:1250-1452``; repo twin
+    ``ecg_driver.compare_noise``) trains seeds x noise-levels one run at a
+    time — and each run is latency-bound at <0.4% of either chip peak
+    (round-3 roofline), so N sequential runs waste ~N x the hardware.  A
+    population axis turns the study into one program: every member is an
+    independent (params, opt_state, key, data-shuffle, config) tuple and
+    ``vmap`` stacks them into batched compute.
+
+    ``loss_fn(params, key, extra, *batch) -> scalar`` per member, where
+    ``extra`` is the member's traced config pytree (e.g. a device-noise
+    std scalar).  Returns ``fn(states, keys, extras, epoch_batches) ->
+    (states, losses[P, n_epochs, n_batches])`` with every argument
+    carrying a leading population axis P.  Key-splitting per member is
+    IDENTICAL to :func:`make_minibatch_epochs_scanner` (keyed), so member
+    curves are bit-comparable to running that scanner per config.
+    """
+    step = make_train_step(
+        lambda p, key, extra, *batch: loss_fn(p, key, extra, *batch), tx)
+
+    def run_one(state: TrainState, key, extra, epoch_batches):
+        def body(s, key_batch):
+            k, batch = key_batch
+            s, loss = step(s, k, extra, *batch)
+            return s, loss
+
+        def epoch(s, ekey_batches):
+            ekey, batches = ekey_batches
+            n_batches = jax.tree_util.tree_leaves(batches)[0].shape[0]
+            keys = jax.random.split(ekey, n_batches)
+            return jax.lax.scan(body, s, (keys, batches))
+
+        n_epochs = jax.tree_util.tree_leaves(epoch_batches)[0].shape[0]
+        ekeys = jax.random.split(key, n_epochs)
+        return jax.lax.scan(epoch, state, (ekeys, epoch_batches))
+
+    return jax.jit(jax.vmap(run_one))

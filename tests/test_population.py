@@ -1,0 +1,136 @@
+"""Population (vmapped-config) training: parity vs the sequential path.
+
+The round-3 verdict's item 3: the 3-seed x 4-noise ECG robustness study
+(`compare_noise_ecg.py:1250-1452` in the reference) ran as a Python loop
+over full training runs, each <0.4% chip utilisation.  The population
+trainer (`train/ecg_driver.py: train_ecg_population`) runs the whole grid
+as ONE vmapped program; these tests pin that every member's curve matches
+the sequential trainer with the same keys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fetode_tpu.models import ecg as M
+from fetode_tpu.train.ecg_driver import (ECGRun, compare_noise_population,
+                                         train_ecg_model,
+                                         train_ecg_population)
+
+
+def _tiny_data(seed=0, n=24, T=16, n_test=8):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n + n_test, T)).astype(np.float32)
+    y = (x.mean(1) > 0).astype(np.int64)
+    return x[:n], y[:n], x[n:], y[n:]
+
+
+def _spec(T, noise_std=0.0):
+    return M.KanFetMLPNODESpec(T=T, latent_dim=6, ode_hidden=6, num_basis=3,
+                               solver="rk4", n_steps=2, noise_std=noise_std)
+
+
+MEMBERS = [(0.0, 0), (0.3, 0), (0.3, 1)]
+
+
+@pytest.fixture(scope="module")
+def runs():
+    data = _tiny_data()
+    T = data[0].shape[1]
+    run = ECGRun(epochs=4, batch_size=4, epochs_per_call=2,
+                 eval_noise_draws=2, log_every=1000)
+
+    # Sequential: one train_ecg_model per (std, seed), noise key passed
+    # only when the member is noisy (the compare_noise make_model shape).
+    seq = []
+    for std, seed in MEMBERS:
+        spec = _spec(T, noise_std=std)
+        init_fn = lambda k, s=spec: M.kanfet_mlp_node_init(k, s)
+        apply_fn = (lambda p, x, key, s=spec, sd=std:
+                    M.kanfet_mlp_node_apply(
+                        p, s, x, noise_key=key if sd > 0 else None))
+        _, hist = train_ecg_model(init_fn, apply_fn, data,
+                                  dataclasses.replace(run, seed=seed),
+                                  log=None)
+        seq.append(hist)
+
+    # Population: one spec, std traced per member.
+    spec = _spec(T, noise_std=0.0)
+    init_fn = lambda k: M.kanfet_mlp_node_init(k, spec)
+    apply_fn = lambda p, x, key, std: M.kanfet_mlp_node_apply(
+        p, spec, x, noise_key=key, noise_std=std)
+    best, pop = train_ecg_population(init_fn, apply_fn, data, run, MEMBERS,
+                                     log=None)
+    return seq, pop, best
+
+
+@pytest.mark.slow
+def test_population_curves_match_sequential(runs):
+    seq, pop, _ = runs
+    for (std, seed), h_seq, h_pop in zip(MEMBERS, seq, pop):
+        for key in ("loss", "train_acc", "test_acc"):
+            np.testing.assert_allclose(
+                np.asarray(h_pop[key]), np.asarray(h_seq[key]),
+                rtol=0, atol=5e-6,
+                err_msg=f"member (std={std}, seed={seed}) curve {key!r}")
+        assert abs(h_pop["best_test_acc"] - h_seq["best_test_acc"]) < 1e-6
+
+
+@pytest.mark.slow
+def test_population_members_differ(runs):
+    """Different seeds / noise levels genuinely produce different runs
+    (the vmap axis is not broadcasting one member)."""
+    _, pop, _ = runs
+    losses = [np.asarray(h["loss"]) for h in pop]
+    assert not np.allclose(losses[0], losses[1])   # clean vs noisy, same seed
+    assert not np.allclose(losses[1], losses[2])   # same std, different seed
+
+
+@pytest.mark.slow
+def test_population_best_params_stacked(runs):
+    _, pop, best = runs
+    leaves = jax.tree_util.tree_leaves(best)
+    assert all(leaf.shape[0] == len(MEMBERS) for leaf in leaves)
+
+
+@pytest.mark.slow
+def test_compare_noise_population_shape():
+    data = _tiny_data()
+    T = data[0].shape[1]
+    spec = _spec(T)
+    run = ECGRun(epochs=2, batch_size=4, epochs_per_call=2,
+                 eval_noise_draws=1, log_every=1000)
+    res = compare_noise_population(
+        lambda k: M.kanfet_mlp_node_init(k, spec),
+        lambda p, x, key, std: M.kanfet_mlp_node_apply(
+            p, spec, x, noise_key=key, noise_std=std),
+        data, noise_stds=(0.0, 0.2), run=run, seeds=(0, 1), log=None)
+    assert set(res) == {0.0, 0.2}
+    assert set(res[0.0]) == {0, 1}
+    assert all("best_test_acc" in h for d in res.values()
+               for h in d.values())
+
+
+def test_population_rejects_unsupported_options():
+    data = _tiny_data()
+    spec = _spec(data[0].shape[1])
+    with pytest.raises(ValueError, match="mesh"):
+        train_ecg_population(
+            lambda k: M.kanfet_mlp_node_init(k, spec),
+            lambda p, x, key, std: M.kanfet_mlp_node_apply(
+                p, spec, x, noise_key=key, noise_std=std),
+            data, ECGRun(epochs=1, mesh_devices=2), MEMBERS, log=None)
+
+
+def test_traced_noise_std_rejected_on_pallas_path():
+    spec = _spec(16)._replace(solver="dopri5", solver_mode="pallas")
+    params = M.kanfet_mlp_node_init(jax.random.PRNGKey(0), spec)
+    with pytest.raises(ValueError, match="pallas"):
+        M.kanfet_mlp_node_apply(params, spec, jnp.ones((2, 16)),
+                                noise_key=jax.random.PRNGKey(1),
+                                noise_std=jnp.float32(0.1))
