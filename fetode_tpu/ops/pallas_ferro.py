@@ -20,18 +20,25 @@ The backward pass reuses the pure-jnp reference (`ops.ferro.ferro_apply`)
 via `jax.vjp` under recompute — bitwise-identical gradients to the
 reference path by construction.
 
-Measured on TPU v5e (B=256, in=64, out=128, K=12, f32, 50-iteration
-amortised): XLA-fused jnp path 857 us/op, this kernel 1237 us/op — the
-jnp path remains the default and this kernel is kept as a parity-tested
-alternative.  Quantified (round 3, ``bench.py: bench_ferro_op`` →
-``extra.roofline``): the jnp path achieves **167 GB/s = 20.4% of v5e HBM
-peak** at arithmetic intensity 3.3 (≪ ridge 240 → bandwidth-bound, per
-XLA's own cost model of the compiled program).  So "near the roofline"
-was an overstatement: the op is bandwidth-CLASSIFIED but has ~5×
-bandwidth headroom eaten by elementwise-chain latency on the
-(B, in, out, K) branch state; this kernel did not recover it either.
-The real lever is shrinking the state traffic itself (bf16 branch state
-— see ``FerroState`` docs, measured +49% on the ECG scan path).
+Measured ceiling story (round 4, ``benchmarks/run_ferro_ceiling.py`` +
+``run_ferro_kernel_ab.py``, B=256 in=64 out=128 K=12 on v5e):
+
+* v5e VPU rates (chain-slope microbench): tanh **3.4 T elem/s**, logistic
+  sigmoid **0.38 T**, exp 1.4 T, mul-add 9.1 T.
+* The XLA jnp path measures ~790-920 ops/s (1.1-1.3 ms/op) across
+  sessions.  Its floors: transcendental **141 us/op (13%)**, cost-model
+  HBM **251 us/op (23%)** — NEITHER binds.  Round-3's "bandwidth-bound
+  with ~5x headroom" is hereby RETIRED: bf16 branch state alone changes
+  nothing (777 vs 790 ops/s), so HBM is not the limiter; the op is bound
+  by XLA's fused-elementwise/reduce VPU code generation.
+* Measured levers on the XLA path: tanh-form gates
+  (``FerroConfig.gate_impl="tanh"``) **+12%** (882 ops/s); tanh gates +
+  bf16 state **+22%** (966 ops/s, disjoint windows).
+* This kernel (v2: tanh gates, bf16-capable state streams, tunable batch
+  tile) reaches 593-732 ops/s — still BELOW the XLA fusion, which already
+  avoids materialising the basis (its reduce-fusion computes it on the
+  fly; the cost model's 206 MB/op ≈ exactly the state traffic + params).
+  Kept as a parity-tested alternative; the jnp path remains the default.
 """
 
 from __future__ import annotations
@@ -54,21 +61,33 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
+def _sig(z):
+    """sigmoid via tanh: on v5e the VPU evaluates tanh at 3.4 T elem/s but
+    the logistic lowering at only 0.38 T (measured,
+    ``benchmarks/ferro_ceiling_tpu.json``) — a 9x transcendental-cost cut
+    for the three gates, exact to ~1 ulp (sigma(z) = (1+tanh(z/2))/2)."""
+    return 0.5 + 0.5 * jnp.tanh(0.5 * z)
+
+
 def _kernel(x_ref, prev_ref, branch_ref,
             k_ref, ec_ref, ps_ref, bias_ref, coef_ref,
             red_ref, nb_ref, *, gate_slope, alpha):
     """One (batch, M) tile.  Shapes (P = in_dim, TM = M-tile of out*K):
     x (TB, P), prev (TB, P), branch (TB, P, TM), params (P, TM),
-    red (TB, TM) = sum over P of weighted basis, nb (TB, P, TM)."""
+    red (TB, TM) = sum over P of weighted basis, nb (TB, P, TM).
+
+    The branch state blocks may be bfloat16 (halves the dominant HBM
+    stream); arithmetic runs in the x dtype and the updated state is cast
+    back on the way out."""
     x = x_ref[:]                                   # (TB, P)
     prev = prev_ref[:]
-    br = branch_ref[:]                             # (TB, P, M)
+    br = branch_ref[:].astype(x.dtype)             # (TB, P, M)
     ec = ec_ref[:]                                 # (P, M)
 
     xe = x[:, :, None]                             # (TB, P, 1)
-    up = jax.nn.sigmoid(gate_slope * (xe - prev[:, :, None]))
-    cp = jax.nn.sigmoid(gate_slope * (xe - ec))
-    cn = jax.nn.sigmoid(gate_slope * (-xe - ec))
+    up = _sig(gate_slope * (xe - prev[:, :, None]))
+    cp = _sig(gate_slope * (xe - ec))
+    cn = _sig(gate_slope * (-xe - ec))
     sw_up = up * cp
     sw_dn = (1.0 - up) * cn
     target = sw_up - sw_dn + (1.0 - sw_up - sw_dn) * br
@@ -81,7 +100,7 @@ def _kernel(x_ref, prev_ref, branch_ref,
     # (Mosaic cannot split the lane dim, and the (B, M) intermediate is
     # P-times smaller than the state traffic already streaming through)
     red_ref[:] = jnp.sum(weighted, axis=1)         # (TB, TM)
-    nb_ref[:] = target
+    nb_ref[:] = target.astype(nb_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -93,7 +112,7 @@ def ferro_apply_fused(params: FerroParams, state: FerroState, x, cfg: FerroConfi
     return _fused_fwd_impl(params, state, x, cfg)
 
 
-def _fused_fwd_impl(params, state, x, cfg, interpret=False):
+def _fused_fwd_impl(params, state, x, cfg, interpret=False, block_b=16):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -109,7 +128,10 @@ def _fused_fwd_impl(params, state, x, cfg, interpret=False):
     TM = min(L * max(1, 512 // L), -(-M // L) * L)
     Mp = -(-M // TM) * TM
     out_pad = Mp // K
-    TB = 8
+    # Batch tile: ~8 live (TB, P, TM) f32 temporaries in the elementwise
+    # chain; TB=16 at the claim shape is ~12.5 MiB — the pallas_call
+    # raises the scoped limit to 64 MiB to keep headroom.
+    TB = block_b
     Bp = -(-B // TB) * TB
 
     def pad_param(a):  # (P, O, K) -> (P, Mp)
@@ -149,9 +171,13 @@ def _fused_fwd_impl(params, state, x, cfg, interpret=False):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, Mp), x.dtype),
-            jax.ShapeDtypeStruct((Bp, P, Mp), x.dtype),
+            # state stream keeps the caller's (possibly bf16) dtype: the
+            # branch tensors are the dominant HBM traffic of this op
+            jax.ShapeDtypeStruct((Bp, P, Mp), state.branch.dtype),
         ],
         interpret=interpret,
+        **({} if interpret else {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20)}),
     )(xb, prevb, branchb, kp, ecp, psp, biasp, coefp)
 
     y = red[:B].reshape(B, out_pad, K).sum(-1)[:, :O]

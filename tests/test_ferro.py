@@ -201,3 +201,28 @@ def test_bf16_state_supported():
     assert y16.dtype == jnp.float32  # compute dtype follows x
     np.testing.assert_allclose(np.asarray(y32), np.asarray(y16),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_gate_impl_tanh_matches_sigmoid():
+    """gate_impl='tanh' (the measured +12/+22% VPU form,
+    benchmarks/ferro_ceiling_tpu.json) is the same mathematical function
+    as the logistic gates to float tolerance."""
+    from fetode_tpu.ops.ferro import (FerroConfig, ferro_apply, ferro_init,
+                                      ferro_state_init)
+
+    cfg_s = FerroConfig(4, 6, 5)
+    cfg_t = cfg_s._replace(gate_impl="tanh")
+    key = jax.random.PRNGKey(3)
+    params = ferro_init(key, cfg_s)
+    state = ferro_state_init((7,), cfg_s)
+    x = jax.random.normal(key, (7, 4))
+    _, state = ferro_apply(params, state, x, cfg_s)      # history
+    x2 = jax.random.normal(jax.random.PRNGKey(4), (7, 4))
+    y_s, s_s = ferro_apply(params, state, x2, cfg_s)
+    y_t, s_t = ferro_apply(params, state, x2, cfg_t)
+    np.testing.assert_allclose(np.asarray(y_t), np.asarray(y_s),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_t.branch), np.asarray(s_s.branch),
+                               atol=1e-6)
+    with pytest.raises(ValueError, match="gate_impl"):
+        ferro_apply(params, state, x2, cfg_s._replace(gate_impl="gelu"))
