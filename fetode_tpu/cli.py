@@ -548,14 +548,10 @@ def run_serve(cfg, out_dir, plots):
     if cfg.source == "ecg":
         from fetode_tpu.models import ecg as M
 
-        # Serving is no-grad: a checkpointed scan compiles pathologically
-        # slowly without a grad (solvers/dopri5.py) — use while-mode
-        # dopri5 unless the pallas whole-solve kernel is requested.
-        mode = "while" if cfg.solver_mode == "scan" else cfg.solver_mode
         spec = M.KanFetNODESpec(T=cfg.t_len, latent_dim=cfg.latent_dim,
                                 num_basis=cfg.num_basis, rtol=cfg.rtol,
                                 atol=cfg.atol, field=cfg.field,
-                                solver_mode=mode)
+                                solver_mode=cfg.solver_mode)
         params = M.kanfet_node_init(key, spec)
         fn = lambda p, x: M.kanfet_node_apply(p, spec, x)
         example = jnp.zeros((1, cfg.t_len), jnp.float32)
@@ -590,12 +586,43 @@ def run_serve(cfg, out_dir, plots):
                 p, spec.kan, x0s, ts, rtol=spec.rtol, atol=spec.atol,
                 max_steps=spec.max_steps)
         else:
-            # No-grad eval: while-mode dopri5 (a no-grad CHECKPOINTED
-            # scan compiles pathologically slowly; see solvers/dopri5.py).
-            eval_spec = spec._replace(solver_mode="while")
+            eval_spec = spec._replace(solver_mode=cfg.solver_mode)
             fn = lambda p, x0s: jax.vmap(
                 lambda x0: predict(p, eval_spec, x0, ts))(x0s)
         example = jnp.ones((1, 2), jnp.float32)
+    elif cfg.source == "ddpm":
+        # The production diffusion eval path: n-sample averaged reverse
+        # chains through the whole-chain Pallas kernel (ops/pallas_ddpm.py,
+        # folded multi-sample; 92-120k samples/s on v5e) — the reference's
+        # worst self-reported hotspot runs val sampling per train step
+        # (kan_diffusion_ett.py:749).  Serving PRNG is fixed: the bundle's
+        # forecast is the deterministic n_samples Monte-Carlo mean.
+        from fetode_tpu.models.forecasting import (
+            DiffusionForecasterSpec,
+            diffusion_forecaster_init,
+            diffusion_forecaster_sample,
+        )
+        from fetode_tpu.nn.diffusion import make_schedule
+
+        spec = DiffusionForecasterSpec(num_features=cfg.num_features,
+                                       context_len=cfg.context_len,
+                                       pred_len=cfg.pred_len,
+                                       latent_dim=cfg.latent_dim)
+        sched = make_schedule(cfg.diff_t)
+        params = diffusion_forecaster_init(key, spec)
+        sample_key = jax.random.PRNGKey(cfg.seed + 1)
+        fn = lambda p, x: diffusion_forecaster_sample(
+            p, spec, sched, x, sample_key, n_samples=cfg.n_samples).mean(0)
+        example = jnp.zeros((1, cfg.context_len, cfg.num_features),
+                            jnp.float32)
+    elif cfg.source == "mnist":
+        from fetode_tpu.models.kuramoto import (KuramotoSpec, kuramoto_init,
+                                                kuramoto_kan_apply)
+
+        spec = KuramotoSpec(rollout=cfg.rollout)
+        params = kuramoto_init(key, spec)
+        fn = lambda p, x: kuramoto_kan_apply(p, spec, x)
+        example = jnp.zeros((1, spec.H, spec.W), jnp.float32)
     else:
         raise ValueError(f"unknown serve source {cfg.source!r}")
 

@@ -29,10 +29,11 @@ class PredPreyPreset:
     rtol: float = 1e-7
     atol: float = 1e-9
     max_steps: int = 256
-    # "scan" (checkpointed XLA scan), "while" (eval), or "pallas" (the
-    # whole-solve kernel with in-kernel discrete adjoint — fastest
-    # measured training path on a real TPU chip).
-    solver_mode: str = "scan"
+    # "auto" (scan under differentiation, while for no-grad eval),
+    # "scan" (checkpointed XLA scan), "while" (early-exit eval), or
+    # "pallas" (the whole-solve kernel with in-kernel discrete adjoint —
+    # fastest measured training path on a real TPU chip).
+    solver_mode: str = "auto"
     # Fit at the times the window targets were actually sampled (the
     # reference's t_learn grid runs 2.24% slow — see
     # PredPreyRun.consistent_time_base; flagship quality runs set True).
@@ -76,10 +77,11 @@ class ECGPreset:
     rtol: float = 1e-2
     atol: float = 1e-3
     noise_std: float = 0.0
-    # "scan" (checkpointed XLA) or "pallas" (whole-solve in-kernel
-    # adjoint) on the NODE models; the ferro kernel requires
-    # noise_std == 0 (falls back to XLA otherwise).
-    solver_mode: str = "scan"
+    # "auto" (scan under differentiation, while for no-grad eval),
+    # "scan", or "pallas" (whole-solve in-kernel adjoint) on the NODE
+    # models; the ferro kernel requires noise_std == 0 (falls back to
+    # XLA otherwise).
+    solver_mode: str = "auto"
     # kanfet_node latent field: "plain" (No_MLP_KANODEFunc) or "mlp"
     # (MLPKANODEFunc with the B-spline KAN stack).
     field: str = "plain"
@@ -124,7 +126,7 @@ class ETTPreset:
     # the latent dopri5 solve shared by the point forecaster and all
     # three diffusion forecasters.  Eval always runs while-mode (the
     # driver downgrades: large eval chunks don't need adjoint records).
-    solver_mode: str = "scan"
+    solver_mode: str = "auto"
     mesh_devices: int = 0
     mesh_model: int = 1
     # Durable checkpoint/resume: --ckpt-dir D --ckpt-every N [--resume]
@@ -157,7 +159,7 @@ class CondDiffusionPreset:
     # (checkpointed XLA) or "pallas" — the whole-solve encoder kernel
     # (ops/pallas_node_enc.py: signal interpolation + field + in-kernel
     # discrete adjoint; measured 4.9x on chip).
-    solver_mode: str = "scan"
+    solver_mode: str = "auto"
     mesh_devices: int = 0
     mesh_model: int = 1
     # Durable checkpoint/resume: --ckpt-dir D --ckpt-every N [--resume]
@@ -261,7 +263,7 @@ class ServePreset:
     latent_dim: int = 64
     num_basis: int = 12
     field: str = "plain"
-    solver_mode: str = "scan"
+    solver_mode: str = "auto"
     rtol: float = 1e-2
     atol: float = 1e-3
     # ETT source hypers
@@ -271,6 +273,15 @@ class ServePreset:
     # predprey source: serve trajectories over linspace(0, horizon, n_points)
     horizon: float = 14.0
     n_points: int = 140
+    # ddpm source (the production diffusion eval path — the reference's
+    # worst self-reported hotspot, kan_diffusion_ett.py:749): forecast =
+    # mean of n_samples whole-chain reverse samples (fixed serving PRNG,
+    # deterministic output), diff_T reverse steps.
+    n_samples: int = 10
+    diff_t: int = 200
+    # mnist source: Kuramoto rollout path ("scan", "pallas", or
+    # "pallas_fused" — the one-kernel rollout+KANLinear-head classifier).
+    rollout: str = "pallas_fused"
     seed: int = 0
 
 
