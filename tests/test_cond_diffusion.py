@@ -55,6 +55,7 @@ def test_node_encoder(key):
 
 
 @pytest.mark.parametrize("name", sorted(DENOISER_VARIANTS))
+@pytest.mark.slow
 def test_denoiser_variants_forward_grad(key, name):
     spec = _tiny_spec(name)
     if spec.encoder == "node":

@@ -213,6 +213,7 @@ def test_cond_diffusion_ckpt_kill_restart(tmp_path, rng):
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_ecg_and_forecast_ckpt_resume(tmp_path, rng):
     """ECG (stateless per-epoch keys) and point-forecast trainers resume
     the exact curve via the same DurableLoop payload."""
@@ -335,6 +336,7 @@ def test_cli_ecg_smoke(tmp_path, monkeypatch):
     assert "best_test_acc" in result
 
 
+@pytest.mark.slow
 def test_cli_ecg_all_models_comparison(tmp_path, monkeypatch):
     """`ecg --model all --plots` trains the reference comparison set (+ a
     noisy ferro variant) in one invocation and emits the multi-model chart

@@ -126,6 +126,7 @@ def test_latent_ode_forecaster_shapes(key):
 
 
 @pytest.mark.parametrize("encoder", ["mlp", "kan", "kanrnn"])
+@pytest.mark.slow
 def test_diffusion_forecaster_variants(key, encoder):
     spec = DiffusionForecasterSpec(num_features=3, context_len=12, pred_len=4,
                                    latent_dim=8, enc_hidden=16, dyn_hidden=16,

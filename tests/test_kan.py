@@ -122,6 +122,7 @@ def test_trainable_mask_freezes_grid(key):
     assert mask[0]["ferro"]["coef"] is True
 
 
+@pytest.mark.slow
 def test_grads_flow_everywhere(key):
     cfg = kanfet_config([2, 6, 2], ferro_num_basis=3)
     params = kan_init(key, cfg, jnp.float64)
@@ -140,6 +141,7 @@ def test_grads_flow_everywhere(key):
             assert float(jnp.abs(leaf).sum()) > 0, (i, "ferro", name)
 
 
+@pytest.mark.slow
 def test_vmap_over_batch_of_states(key):
     cfg = kanfet_config([2, 4, 2], ferro_num_basis=3)
     params = kan_init(key, cfg, jnp.float64)

@@ -113,6 +113,7 @@ def _replay_loss(params, cfg, x0, ts, target, tda, misc):
     return jnp.mean((pred - target) ** 2)
 
 
+@pytest.mark.slow
 def test_gradient_matches_frozen_mesh_oracle(setup):
     spec, params, x0, ts, target, solver = setup
     _, (tda, yrec, krec, misc) = solver.fwd_with_records(params, x0, ts)
@@ -136,6 +137,7 @@ def test_gradient_matches_frozen_mesh_oracle(setup):
     assert rel < 1e-4, f"hand VJP differs from frozen-mesh oracle: rel={rel}"
 
 
+@pytest.mark.slow
 def test_gradient_close_to_scan_autodiff(setup):
     """The discrete adjoint drops the step-controller chain; against the
     full scan-mode autodiff the gradients should still be nearly
@@ -203,6 +205,7 @@ def test_stage_loop_matches_unrolled(setup):
     assert rel < 1e-5, rel
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(setup):
     """shard_map over the 8-device 'data' axis: same predictions and
     parameter gradients (psum'd by the shard_map transpose) as the

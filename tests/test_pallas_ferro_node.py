@@ -211,6 +211,7 @@ def test_batch_vec_layout_matches_loop_layout(setup):
         rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_matches_per_shard_solves(setup):
     """shard_map over the 8-device 'data' axis == concatenated per-shard
     kernel solves (the kernel's step control is batch-global, so the
@@ -247,6 +248,7 @@ def test_sharded_matches_per_shard_solves(setup):
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_noisy_matches_per_shard_solves(setup):
     """Device noise on the sharded path: drawn once for the GLOBAL batch
     (same keys/values as the single-device entry) and sharded with h0 —

@@ -48,6 +48,7 @@ def test_forward_matches_odeint(setup):
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_gradient_close_to_scan_autodiff(setup):
     """Discrete adjoint on the frozen mesh vs full scan-mode autodiff:
     nearly parallel gradients (the controller chain is dropped)."""

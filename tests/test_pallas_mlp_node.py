@@ -42,6 +42,7 @@ def test_forward_matches_xla(setup):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_grads_match_scan_autodiff(setup):
     spec, params, h0 = setup
     sub = {k: params[k] for k in _FIELD_KEYS}
@@ -105,6 +106,7 @@ def test_model_apply_pallas_mode(setup):
                                    rtol=1e-4, atol=1e-6, err_msg=name)
 
 
+@pytest.mark.slow
 def test_sharded_matches_per_shard_solves(setup):
     """shard_map DP == concatenated per-shard solves + psum'd grads
     (batch-global step control makes per-shard the defined contract)."""

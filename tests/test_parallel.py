@@ -101,6 +101,7 @@ def test_sharded_train_step_matches_unsharded(key):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
@@ -125,6 +126,7 @@ def test_traj_parallel_training_reduces_loss():
     assert hist["traj_epochs_per_sec"] > 0
 
 
+@pytest.mark.slow
 def test_traj_parallel_sharded_matches_single_device():
     """dp x tp sharded batched training step == unsharded (bitwise-close):
     the GSPMD partition of the trajectory-parallel train loop is a pure
@@ -143,6 +145,7 @@ def test_traj_parallel_sharded_matches_single_device():
                                rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_shooting_segments_sharded_matches_single_device():
     """Parallel-in-time: multiple-shooting segments sharded over the mesh
     'data' axis (shooting_devices) must train identically to the
@@ -314,6 +317,7 @@ def test_model_param_specs_rule():
         specs1, is_leaf=lambda x: isinstance(x, P)))
 
 
+@pytest.mark.slow
 def test_ecg_driver_mesh_tensor_parallel_matches_single_device(rng):
     """dp x tp (data=4, model=2): column-parallel param placement must
     leave the training math unchanged (GSPMD inserts the collectives) —
@@ -337,6 +341,7 @@ def test_ecg_driver_mesh_tensor_parallel_matches_single_device(rng):
                                rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_forecast_driver_mesh_matches_single_device(rng):
     from fetode_tpu.models.forecasting import LatentODEForecasterSpec
     from fetode_tpu.train.forecast_driver import (ForecastRun,

@@ -5,6 +5,7 @@ made into an assert)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fetode_tpu.models.predprey import (
     PredPreyNODE,
@@ -89,6 +90,7 @@ def test_vmapped_trajectory_batching(key):
                                atol=1e-10)
 
 
+@pytest.mark.slow
 def test_driver_reg_val_and_budget_schedule():
     """The upgraded driver knobs: KAN regularization in the loss, held-out
     val-window best selection, and the step-budget ladder (history records
@@ -124,6 +126,7 @@ def test_driver_live_grid_refit_converges():
     assert hist["train"][-1] < hist["train"][0]
 
 
+@pytest.mark.slow
 def test_period_estimate_and_anchor_smoke():
     """_estimate_period must recover the LV period (~3.317) from the train
     window alone; the anchored driver must construct a sorted augmented
@@ -141,6 +144,7 @@ def test_period_estimate_and_anchor_smoke():
     assert hist["train"] == []
 
 
+@pytest.mark.slow
 def test_dense_anchor_grid_construction():
     """dense_anchor must spline-upsample the fit window (log-space for
     positive LV targets — reconstruction measured exact to ~6e-4 max) and
@@ -189,6 +193,7 @@ def test_dense_anchor_grid_construction():
     assert float(jnp.max(jnp.abs(rec_s - truth_s))) > 0.3
 
 
+@pytest.mark.slow
 def test_multiple_shooting_converges():
     """Multiple-shooting training (segments solved in parallel from observed
     values) must reduce loss; eval (full solve from x0) must stay finite."""
