@@ -57,23 +57,46 @@ def _row_masks(H, W):
     return maskl, maskr
 
 
-def _make_nsum(HW, W):
-    """Masked 4-neighbour sum on the (HW, B) sublane layout."""
+def _make_nsum(HW, W, impl="shift"):
+    """Masked 4-neighbour sum on the (HW, B) sublane layout.
 
-    def nsum(x, maskl, maskr):
-        z1 = jnp.zeros_like(x[:1])
-        zw = jnp.zeros_like(x[:W])
-        left = jnp.concatenate([z1, x[:-1]], axis=0) * maskl
-        right = jnp.concatenate([x[1:], z1], axis=0) * maskr
-        up = jnp.concatenate([zw, x[:-W]], axis=0)
-        down = jnp.concatenate([x[W:], zw], axis=0)
+    ``impl="shift"``: zero-pad + slice concatenates (4 copies).
+    ``impl="roll"``: ``pltpu.roll`` sublane rotations — the wrap rows are
+    exactly the rows the boundary masks zero (left wrap lands on col 0,
+    right wrap on col W-1) or an explicit top/bottom mask kills them, so
+    the result is identical; rotates map to single vector permutes where
+    the concatenate form materialises sliced copies.
+    """
+    if impl == "shift":
+        def nsum(x, maskl, maskr):
+            z1 = jnp.zeros_like(x[:1])
+            zw = jnp.zeros_like(x[:W])
+            left = jnp.concatenate([z1, x[:-1]], axis=0) * maskl
+            right = jnp.concatenate([x[1:], z1], axis=0) * maskr
+            up = jnp.concatenate([zw, x[:-W]], axis=0)
+            down = jnp.concatenate([x[W:], zw], axis=0)
+            return left + right + up + down
+
+        return nsum
+
+    def nsum_roll(x, maskl, maskr):
+        # Top/bottom wrap masks via in-kernel iota (Mosaic rejects
+        # captured array constants); CSE dedupes across the step loop.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)
+        mask_top = (rows >= W).astype(x.dtype)
+        mask_bot = (rows < HW - W).astype(x.dtype)
+        # pltpu.roll requires non-negative shifts: -s == HW - s (rotation)
+        left = pltpu.roll(x, 1, 0) * maskl
+        right = pltpu.roll(x, HW - 1, 0) * maskr
+        up = pltpu.roll(x, W, 0) * mask_top
+        down = pltpu.roll(x, HW - W, 0) * mask_bot
         return left + right + up + down
 
-    return nsum
+    return nsum_roll
 
 
-def _make_fwd_kernel(HW, W, steps, dt):
-    nsum = _make_nsum(HW, W)
+def _make_fwd_kernel(HW, W, steps, dt, nsum_impl="shift", unroll=False):
+    nsum = _make_nsum(HW, W, nsum_impl)
 
     def kernel(th0_ref, om_ref, k_ref, ml_ref, mr_ref, cos_ref, sin_ref):
         om, kc = om_ref[:], k_ref[0, 0]
@@ -84,7 +107,12 @@ def _make_fwd_kernel(HW, W, steps, dt):
             coup = c * nsum(s, ml, mr) - s * nsum(c, ml, mr)
             return th + dt * (om + kc * coup)
 
-        th = jax.lax.fori_loop(0, steps, body, th0_ref[:])
+        th = th0_ref[:]
+        if unroll:
+            for i in range(steps):
+                th = body(i, th)
+        else:
+            th = jax.lax.fori_loop(0, steps, body, th)
         cos_ref[:] = jnp.cos(th)
         sin_ref[:] = jnp.sin(th)
 
@@ -143,13 +171,19 @@ _VMEM_BUDGET_BYTES = 14 * 2**20
 
 
 @functools.lru_cache(maxsize=8)
-def make_kuramoto_rollout(H, W, steps, dt, block_b=128, interpret=False):
+def make_kuramoto_rollout(H, W, steps, dt, block_b=128, interpret=False,
+                          nsum_impl="shift", unroll=False):
     """Differentiable whole-rollout for the Kuramoto feature front-end.
 
     Returns ``rollout(omega, K, theta0) -> feat`` where ``omega`` is
     (H, W), ``K`` a scalar, ``theta0`` (B, H*W), and ``feat`` is
     (B, 2*H*W) laid out [cos(theta_T) | sin(theta_T)] — exactly the scan
     path's feature layout (models/kuramoto.py: kuramoto_features).
+
+    ``nsum_impl``/``unroll`` select the forward step's neighbour-sum form
+    (concat shifts vs ``pltpu.roll``) and step-loop unrolling — the
+    round-4 A/B knobs for the measured rollout bottleneck (~86% of
+    inference time, ``benchmarks/run_kuramoto_decomp.py``).
     """
     f32 = jnp.float32
     HW = H * W
@@ -192,7 +226,7 @@ def make_kuramoto_rollout(H, W, steps, dt, block_b=128, interpret=False):
         tht = jnp.pad(theta0.T.astype(f32), ((0, 0), (0, pad)))
         inputs = [tht] + _prep(omega, kc)
         cosT, sinT = pl.pallas_call(
-            _make_fwd_kernel(HW, W, steps, dt),
+            _make_fwd_kernel(HW, W, steps, dt, nsum_impl, unroll),
             grid=(nblk,),
             out_shape=[jax.ShapeDtypeStruct((HW, nblk * block_b), f32)] * 2,
             in_specs=[pl.BlockSpec((HW, block_b), lambda i: (0, i)),
@@ -242,16 +276,17 @@ def make_kuramoto_rollout(H, W, steps, dt, block_b=128, interpret=False):
 
 # ------------------------------------------------------------------ fused head
 #
-# Inference roofline note (BASELINE.md Kuramoto-kernel row): with the
-# rollout kernel alone, the KANLinear(2HW, 10) head still materialises the
-# (B, 2HW, G+k) B-spline basis AND the (B, 2HW, K) logistic basis in HBM —
-# 16x the feature bytes each way — which dominates inference traffic and
-# capped fwd at 1.14x.  The fused classifier below keeps the features in
-# VMEM after the rollout and evaluates the whole head in-kernel: the
-# Cox-de Boor recursion runs on (HW, block_b) planes (cos half, then sin
-# half, so peak VMEM is half the 2HW working set) and each basis plane is
-# consumed immediately by a (C, HW) x (HW, block_b) MXU matmul.  Only the
-# (B, C) logits leave the chip.
+# The fused classifier evaluates rollout AND the KANLinear(2HW, C) head in
+# one launch: the Cox-de Boor recursion runs on (HW, block_b) planes (cos
+# half, then sin half) and each basis plane is consumed immediately by a
+# (C, HW) x (HW, block_b) MXU matmul — only the (B, C) logits leave the
+# chip.  Round-3's motivating premise ("the head's basis materialisation
+# dominates inference HBM traffic") was RETIRED by the round-4
+# decomposition (benchmarks/run_kuramoto_decomp.py): the rollout itself is
+# ~86% of inference time, so the fused path measures a TIE with
+# rollout-kernel + XLA head (166k vs 168k img/s at B=1024).  It ships as
+# the parity-tested single-launch serving path (one executable, no
+# intermediate features in HBM), not as a throughput win.
 
 
 def _make_fused_kernel(HW, W, steps, dt, n_knots, spline_order, n_logistic,
