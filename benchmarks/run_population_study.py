@@ -9,6 +9,11 @@ and budget, checks the member curves agree, and writes
 ``benchmarks/ecg200_population_study.json``.
 
 Usage: python benchmarks/run_population_study.py [epochs] [epochs_per_call]
+           [aot_cache_dir]
+
+With ``aot_cache_dir`` the population program's compiled executable
+round-trips through disk (serve.py: AotCache): the first study pays the
+~20-min vmapped-program compile once, every rerun loads in seconds.
 """
 
 from __future__ import annotations
@@ -32,6 +37,7 @@ from fetode_tpu.train.ecg_driver import (ECGRun, train_ecg_model,
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     epc = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    aot_cache = sys.argv[3] if len(sys.argv) > 3 else ""
     try:
         data = load_ecg200()
         source = "ECG200 (UCR)"
@@ -48,6 +54,11 @@ def main():
 
     # --- population: one program for the whole grid --------------------
     spec = M.KanFetMLPNODESpec(T=T, solver="rk4", n_steps=8)
+    if aot_cache:
+        from fetode_tpu.serve import config_hash
+
+        run = dataclasses.replace(run, aot_cache=aot_cache,
+                                  aot_tag=config_hash(spec, epochs, epc))
     init_fn = lambda k: M.kanfet_mlp_node_init(k, spec)        # noqa: E731
     pop_apply = lambda p, x, key, std: M.kanfet_mlp_node_apply(  # noqa: E731
         p, spec, x, noise_key=key, noise_std=std)
@@ -73,6 +84,10 @@ def main():
     seq_wall = time.perf_counter() - t0
 
     # --- parity + report ------------------------------------------------
+    # On CPU the population curves match sequential to 5e-6
+    # (tests/test_population.py).  On TPU the vmapped program's different
+    # fusion/reduction order drifts fp results, and 20 epochs of
+    # optimisation amplify it — report the deviation, don't hide it.
     max_dev = 0.0
     for h_pop, h_seq in zip(pop_hists, seq_hists):
         for key in ("loss", "test_acc"):
@@ -80,15 +95,27 @@ def main():
                                - np.asarray(h_seq[key])).max())
             max_dev = max(max_dev, dev)
 
+    # Block 0 carries the ONE-TIME compile of the vmapped program —
+    # measured ~20 min at P=12 over the axon remote-compile tunnel, which
+    # swamps short studies end-to-end.  Steady-state blocks are the
+    # number that scales; aot-cached reruns skip the compile entirely.
+    blocks = pop_hists[0]["block_seconds"]
+    steady = float(np.median(blocks[1:])) if len(blocks) > 1 else blocks[0]
+    compile_s = blocks[0] - steady
+    pop_steady_wall = steady * len(blocks)
     out = {
         "source": source,
         "epochs": epochs,
         "epochs_per_call": epc,
         "members": [[float(s), int(sd)] for s, sd in members],
         "population_wall_seconds": pop_wall,
+        "population_block_seconds": blocks,
+        "population_compile_seconds_est": compile_s,
+        "population_steady_wall_seconds": pop_steady_wall,
         "sequential_wall_seconds": seq_wall,
-        "speedup": seq_wall / pop_wall,
-        "max_curve_deviation": max_dev,
+        "speedup_cold": seq_wall / pop_wall,
+        "speedup_steady": seq_wall / pop_steady_wall,
+        "max_curve_deviation_tpu_fp_drift": max_dev,
         "best_test_acc": {
             f"std{std}_seed{seed}": h["best_test_acc"]
             for (std, seed), h in zip(members, pop_hists)

@@ -258,11 +258,15 @@ def train_ecg_population(
     Returns ``(best_params, histories)``: ``best_params`` is a stacked
     pytree with leading axis P holding each member's best-test-accuracy
     snapshot; ``histories`` is a list of P per-member dicts shaped like
-    :func:`train_ecg_model`'s history.
+    :func:`train_ecg_model`'s history, plus ``block_seconds`` (wall per
+    epoch block — block 0 carries the one-time compile, which is HEAVY
+    for the vmapped program on a remote-compile TPU: measured ~20 min at
+    P=12 on the reference spec; ``run.aot_cache`` + ``run.aot_tag``
+    round-trip the compiled executable so repeat studies skip it).
     """
-    if run.mesh_devices or run.ckpt_dir or run.aot_cache:
+    if run.mesh_devices or run.ckpt_dir:
         raise ValueError("train_ecg_population does not support mesh/"
-                         "checkpoint/AOT options — use train_ecg_model")
+                         "checkpoint options — use train_ecg_model")
     x_train, y_train, x_test, y_test = data
     P = len(members)
     stds = jnp.asarray([m[0] for m in members], jnp.float32)
@@ -282,6 +286,14 @@ def train_ecg_population(
         return cross_entropy(apply_fn(p, xb, k, std), yb)
 
     block_fn = make_population_epochs_scanner(loss_fn, tx)
+    if run.aot_cache:
+        if not run.aot_tag:
+            raise ValueError("ECGRun.aot_cache requires aot_tag (see "
+                             "train_ecg_model)")
+        from fetode_tpu.serve import AotCache, CachedJit
+
+        block_fn = CachedJit(AotCache(run.aot_cache),
+                             f"ecg-pop{P}-{run.aot_tag}", block_fn)
 
     D = max(1, run.eval_noise_draws)
     eval_keys = jax.vmap(lambda k: jax.random.split(k, D))(eval_bases)
@@ -300,10 +312,12 @@ def train_ecg_population(
     curves = {"loss": [], "train_acc": [], "test_acc": []}
     best_acc = jnp.full((P,), -1.0, jnp.float32)
     best_params = state.params
+    block_seconds = []
 
     t0 = time.perf_counter()
     E = max(1, run.epochs_per_call)
     for ep in range(0, run.epochs, E):
+        tb0 = time.perf_counter()
         n = min(E, run.epochs - ep)
         shuffles = [[batch_iterator(x_train, y_train, run.batch_size,
                                     seed=seed + ep + i) for i in range(n)]
@@ -314,6 +328,8 @@ def train_ecg_population(
                                     for row in shuffles])))
         bkeys = jax.vmap(lambda k: jax.random.fold_in(k, ep))(noise_bases)
         state, losses = block_fn(state, bkeys, stds, eb)
+        jax.block_until_ready(losses)
+        block_seconds.append(time.perf_counter() - tb0)
         tr = eval_acc(state.params, eval_keys, stds, x_train_j, y_train_j)
         te = eval_acc(state.params, eval_keys, stds, x_test_j, y_test_j)
         curves["loss"].append(losses.mean(axis=(1, 2)))
@@ -343,6 +359,7 @@ def train_ecg_population(
             "test_acc": stacked["test_acc"][i].tolist(),
             "best_test_acc": float(best_acc[i]),
             "wall_seconds": wall,   # shared: the population is one program
+            "block_seconds": block_seconds,   # [0] carries the compile
         })
     return best_params, histories
 

@@ -116,6 +116,35 @@ def test_compare_noise_population_shape():
                for h in d.values())
 
 
+def test_population_aot_cache_roundtrip(tmp_path):
+    """The vmapped population program round-trips through the AOT cache
+    (its remote compile measured ~20 min at P=12 on the tunnel — the
+    cache is the mitigation) and reproduces the curve."""
+    data = _tiny_data()
+    spec = _spec(data[0].shape[1])
+    from fetode_tpu.serve import config_hash
+
+    run = ECGRun(epochs=2, batch_size=4, epochs_per_call=2,
+                 eval_noise_draws=1, log_every=1000,
+                 aot_cache=str(tmp_path / "aot"), aot_tag=config_hash(spec))
+    mk = lambda: train_ecg_population(  # noqa: E731
+        lambda k: M.kanfet_mlp_node_init(k, spec),
+        lambda p, x, key, std: M.kanfet_mlp_node_apply(
+            p, spec, x, noise_key=key, noise_std=std),
+        data, run, MEMBERS, log=None)
+    _, h1 = mk()
+    import os
+    assert os.path.isdir(str(tmp_path / "aot"))
+    _, h2 = mk()
+    np.testing.assert_array_equal(h1[0]["loss"], h2[0]["loss"])
+    with pytest.raises(ValueError, match="aot_tag"):
+        train_ecg_population(
+            lambda k: M.kanfet_mlp_node_init(k, spec),
+            lambda p, x, key, std: M.kanfet_mlp_node_apply(
+                p, spec, x, noise_key=key, noise_std=std),
+            data, dataclasses.replace(run, aot_tag=""), MEMBERS, log=None)
+
+
 def test_population_rejects_unsupported_options():
     data = _tiny_data()
     spec = _spec(data[0].shape[1])
