@@ -260,12 +260,15 @@ def diffusion_forecaster_loss(params, spec: DiffusionForecasterSpec,
 def diffusion_forecaster_sample(params, spec: DiffusionForecasterSpec,
                                 sched: DiffusionSchedule, x_ctx, key,
                                 t_fut=None, n_samples: int = 1,
-                                unroll: int = 4, sampler: str = "pallas"):
+                                unroll: int = 4, sampler: str = "pallas",
+                                sampler_kwargs=None):
     """Sample future sequences; (B, P) or (n_samples, B, P).
 
     ``sampler``: "pallas" = whole-chain kernel (ops/pallas_ddpm.py,
     measured 15.2k vs 9.6k samples/s for the hoisted scan on v5e);
     "scan" = hoisted lax.scan (nn/diffusion.py: eps_head_sample_loop).
+    ``sampler_kwargs`` pass through to the pallas kernel (e.g.
+    ``block_b`` for the gridded lane-block width).
     """
     if t_fut is None:
         t_fut = jnp.arange(spec.pred_len, dtype=x_ctx.dtype)
@@ -278,7 +281,8 @@ def diffusion_forecaster_sample(params, spec: DiffusionForecasterSpec,
         # launch, gridded over batch blocks) — same per-sample PRNG
         # layout as a lax.map of single-sample kernels
         return pallas_eps_head_sample(params["eps_head"], spec.eps_cfg,
-                                      sched, cond, key, n_samples=n_samples)
+                                      sched, cond, key, n_samples=n_samples,
+                                      **(sampler_kwargs or {}))
 
     def one(k):
         # specialised chain: hoists the cond / t-emb first-layer matmuls

@@ -99,3 +99,18 @@ def test_pallas_batch_blocking_matches_single_block(setup):
                                      interpret=True)  # 25 rows -> 4 blocks
     np.testing.assert_allclose(np.asarray(blocked), np.asarray(whole),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_wide_lane_blocks_match(setup):
+    """block_b >= 128 rides the wide-block path (multiples of 128 on the
+    lane axis, round-4): same rows, different tiling, same samples."""
+    spec, sched, params, x_ctx, cond = setup
+    key = jax.random.PRNGKey(13)
+    kw = dict(n_samples=60, interpret=True)          # 300 rows > block_b
+    narrow = pallas_eps_head_sample(params["eps_head"], spec.eps_cfg, sched,
+                                    cond, key, block_b=8, **kw)
+    # 290 rounds down to bb=256 -> 2 blocks with a ragged tail
+    wide = pallas_eps_head_sample(params["eps_head"], spec.eps_cfg, sched,
+                                  cond, key, block_b=290, **kw)
+    np.testing.assert_allclose(np.asarray(wide), np.asarray(narrow),
+                               rtol=1e-5, atol=1e-5)
