@@ -164,10 +164,13 @@ def _make_bwd_kernel(HW, W, steps, dt):
     return kernel
 
 
-# Scoped-VMEM budget for the backward kernel's replay scratch.  Mosaic's
-# default limit is 16 MiB; leave headroom for the ~8 live (HW, block_b)
+# Scoped-VMEM budget for the backward kernel's replay scratch.  Both
+# rollout kernels now request an explicit raised Mosaic limit (sized to
+# the scratch, ≤100 MiB of the chip's 128), so the budget admits wide
+# batch blocks (the round-4 lane-amortisation lever, block_b up to 512);
+# the remaining cap leaves headroom for the ~8 live (HW, block_b)
 # working arrays of the adjoint step.
-_VMEM_BUDGET_BYTES = 14 * 2**20
+_VMEM_BUDGET_BYTES = 48 * 2**20
 
 
 @functools.lru_cache(maxsize=8)
@@ -207,6 +210,14 @@ def make_kuramoto_rollout(H, W, steps, dt, block_b=128, interpret=False,
             f"lattice, or fall back to rollout='scan'.")
 
     maskl, maskr = _row_masks(H, W)
+    # Measured at block_b=512: the backward's true scoped allocation is
+    # ~1.7x the replay scratch (the ~8 live (HW, bb) adjoint-step arrays
+    # + double-buffered blocked streams ride on top) — budget 2x.
+    cparams = ({} if interpret else
+               {"compiler_params": pltpu.CompilerParams(
+                   vmem_limit_bytes=max(
+                       16 << 20,
+                       min(100 << 20, _scratch_bytes(block_b) * 2)))})
 
     def _blocks(rows):
         nblk = -(-rows // block_b)
@@ -233,6 +244,7 @@ def make_kuramoto_rollout(H, W, steps, dt, block_b=128, interpret=False,
                       full(HW, 1), full(1, 1), full(HW, 1), full(HW, 1)],
             out_specs=[pl.BlockSpec((HW, block_b), lambda i: (0, i))] * 2,
             interpret=interpret,
+            **cparams,
         )(*inputs)
         return jnp.concatenate([cosT[:, :B].T, sinT[:, :B].T], axis=-1)
 
@@ -255,6 +267,7 @@ def make_kuramoto_rollout(H, W, steps, dt, block_b=128, interpret=False,
             out_specs=[blk, full(HW, 1), full(1, 1)],
             scratch_shapes=[pltpu.VMEM((steps * HW, block_b), f32)],
             interpret=interpret,
+            **cparams,
         )(*inputs)
         return (gom.reshape(H, W).astype(omega.dtype),
                 gk[0, 0].astype(jnp.asarray(kc).dtype),
