@@ -68,6 +68,12 @@ def main():
     pop_wall = time.perf_counter() - t0
 
     # --- sequential: the compare_noise shape, one run per member -------
+    # NO aot cache here: (a) this leg mirrors what the reference-shaped
+    # sequential study pays today, and (b) the members bake different
+    # noise_std constants into programs with IDENTICAL arg signatures, so
+    # a shared (tag, signature) cache key would silently serve the wrong
+    # member's executable.
+    seq_run = dataclasses.replace(run, aot_cache="", aot_tag="")
     t0 = time.perf_counter()
     seq_hists = []
     for std, seed in members:
@@ -78,7 +84,7 @@ def main():
                    M.kanfet_mlp_node_apply(
                        p, s, x, noise_key=key if sd > 0 else None))
         _, hist = train_ecg_model(s_init, s_apply, data,
-                                  dataclasses.replace(run, seed=seed),
+                                  dataclasses.replace(seq_run, seed=seed),
                                   log=None)
         seq_hists.append(hist)
     seq_wall = time.perf_counter() - t0

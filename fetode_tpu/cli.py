@@ -114,6 +114,8 @@ def run_ecg(cfg, out_dir, plots, data=None):
         data = _load_ecg_data()
     if cfg.model == "all":
         return _run_ecg_all(cfg, data, out_dir, plots)
+    if cfg.model == "noise_study":
+        return _run_ecg_noise_study(cfg, data, out_dir)
     T = data[0].shape[1]
 
     loops_fn = None   # ferro models: trained-params P-E loop extractor
@@ -224,6 +226,60 @@ def run_ecg(cfg, out_dir, plots, data=None):
                                    jax.random.PRNGKey(cfg.seed), li))
     return {"best_test_acc": hist["best_test_acc"],
             "test_acc_curve": [float(a) for a in hist["test_acc"]]}
+
+
+def _run_ecg_noise_study(cfg, data, out_dir):
+    """The reference's clean-vs-noisy device study
+    (``compare_noise_ecg.py:1250-1452``) as ONE vmapped population
+    dispatch: every (noise_std, seed) grid member trains as a lane of a
+    single program (``train/ecg_driver.py: compare_noise_population``)
+    instead of the reference's sequential one-run-at-a-time loop.
+
+    Uses the ferro KanFet-MLP-NODE (the study's model) with noise_std
+    TRACED per member; the pallas whole-solve kernel needs a static
+    noise spec, so the study runs the XLA solve paths.
+    """
+    import dataclasses as _dc
+    import json
+
+    from fetode_tpu.models import ecg as M
+    from fetode_tpu.train.ecg_driver import ECGRun, compare_noise_population
+
+    T = data[0].shape[1]
+    stds = tuple(float(s) for s in str(cfg.noise_stds).split(",") if s)
+    seeds = tuple(int(s) for s in str(cfg.noise_seeds).split(",") if s)
+    spec = M.KanFetMLPNODESpec(T=T, latent_dim=cfg.latent_dim,
+                               num_basis=cfg.num_basis, solver=cfg.solver,
+                               rtol=cfg.rtol, atol=cfg.atol,
+                               solver_mode="scan")
+    run = ECGRun(epochs=cfg.epochs, batch_size=cfg.batch_size, lr=cfg.lr,
+                 weight_decay=cfg.weight_decay, seed=cfg.seed,
+                 epochs_per_call=max(1, cfg.epochs_per_call),
+                 eval_noise_draws=4, aot_cache=cfg.aot_cache)
+    if run.aot_cache:
+        from fetode_tpu.serve import config_hash
+        run = _dc.replace(run, aot_tag=config_hash(
+            spec, run.epochs, run.epochs_per_call, stds, seeds))
+    init_fn = lambda k: M.kanfet_mlp_node_init(k, spec)    # noqa: E731
+    apply_fn = (lambda p, x, key, std:                     # noqa: E731
+                M.kanfet_mlp_node_apply(p, spec, x, noise_key=key,
+                                        noise_std=std))
+    results = compare_noise_population(
+        init_fn, apply_fn, data, noise_stds=stds, run=run, seeds=seeds,
+        log=lambda m: print(m, flush=True))
+    summary = {
+        str(std): {
+            "mean_best_test_acc": float(
+                sum(h["best_test_acc"] for h in per_seed.values())
+                / len(per_seed)),
+            "per_seed": {str(s): float(h["best_test_acc"])
+                         for s, h in per_seed.items()},
+        }
+        for std, per_seed in results.items()
+    }
+    with open(os.path.join(out_dir, "noise_study.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    return {"noise_study": summary}
 
 
 # The reference's end-of-run multi-model comparison (train_ecg.py:1418-1463:

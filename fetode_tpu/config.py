@@ -63,10 +63,16 @@ class ECGPreset:
     """train_ecg_kan_fet_nn_ode.py:1181-1261 (100 epochs "sweet spot",
     batch 8, latent 64, basis 12, dopri5 rtol 1e-2 atol 1e-3)."""
 
-    # kanfet_node|kanfet_mlp_node|fepa_rnn|digital_rnn|node_rnn, or "all":
+    # kanfet_node|kanfet_mlp_node|fepa_rnn|digital_rnn|node_rnn; "all":
     # train the reference's comparison set (+ a noisy ferro variant) and
-    # emit the multi-model chart/table (train_ecg.py:1418-1463).
+    # emit the multi-model chart/table (train_ecg.py:1418-1463);
+    # "noise_study": the clean-vs-noisy grid (compare_noise_ecg.py:
+    # 1250-1452) as ONE vmapped population dispatch
+    # (train/ecg_driver.py: compare_noise_population) over
+    # --noise-stds x --noise-seeds.
     model: str = "kanfet_node"
+    noise_stds: str = "0,0.1,0.2,0.5"
+    noise_seeds: str = "0,1,2"
     epochs: int = 100
     batch_size: int = 8
     lr: float = 1e-3

@@ -8,6 +8,20 @@ import pytest
 from fetode_tpu.cli import main
 
 
+def test_cli_ecg_noise_study(tmp_path):
+    """--model noise_study: the clean-vs-noisy grid as one vmapped
+    population dispatch (rk4 keeps the vmapped-program compile small)."""
+    r = main(["ecg", "--out-dir", str(tmp_path), "--model", "noise_study",
+              "--solver", "rk4", "--epochs", "2", "--epochs-per-call", "2",
+              "--latent-dim", "8", "--num-basis", "4",
+              "--noise-stds", "0,0.2", "--noise-seeds", "0"])
+    study = r["noise_study"]
+    assert set(study) == {"0.0", "0.2"}
+    for row in study.values():
+        assert 0.0 <= row["mean_best_test_acc"] <= 1.0
+    assert os.path.exists(tmp_path / "noise_study.json")
+
+
 def test_cli_ett_point(tmp_path):
     r = main(["ett", "--out-dir", str(tmp_path), "--dataset", "nonexistent",
               "--model", "point", "--context-len", "12", "--pred-len", "4",
