@@ -671,6 +671,28 @@ def run_serve(cfg, out_dir, plots):
             p, spec, sched, x, sample_key, n_samples=cfg.n_samples).mean(0)
         example = jnp.zeros((1, cfg.context_len, cfg.num_features),
                             jnp.float32)
+    elif cfg.source == "cond_diffusion":
+        # Conditional-diffusion forecaster (kan_diffusion_ett.py family):
+        # n-sample averaged reverse chains with the past conditioning
+        # hoisted OUT of the chain (the reference re-encodes inside every
+        # denoiser call, kan_diffusion_ett.py:432-444).  Deterministic
+        # Monte-Carlo-mean forecast under a fixed serving PRNG.
+        from fetode_tpu.models.cond_diffusion import (cond_denoiser_init,
+                                                      make_denoiser_spec)
+        from fetode_tpu.nn.diffusion import make_schedule
+        from fetode_tpu.train.cond_diffusion_driver import sample_forecasts
+
+        spec = make_denoiser_spec(cfg.denoiser, d_in=cfg.num_features,
+                                  pred_len=cfg.pred_len,
+                                  seq_len=cfg.context_len)
+        sched = make_schedule(cfg.diff_t)
+        params = cond_denoiser_init(key, spec)
+        sample_key = jax.random.PRNGKey(cfg.seed + 1)
+        fn = lambda p, past: sample_forecasts(
+            p, spec, sched, past, sample_key,
+            n_samples=cfg.n_samples).mean(0)
+        example = jnp.zeros((1, cfg.context_len, cfg.num_features),
+                            jnp.float32)
     elif cfg.source == "mnist":
         from fetode_tpu.models.kuramoto import (KuramotoSpec, kuramoto_init,
                                                 kuramoto_kan_apply)

@@ -252,7 +252,10 @@ class ServePreset:
     measures serving latency/throughput per bucket."""
 
     # What to serve: "ecg" (KanFet-NODE classifier logits), "ett"
-    # (latent-ODE point forecaster), "predprey" (batched trajectory solve).
+    # (latent-ODE point forecaster), "predprey" (batched trajectory
+    # solve), "ddpm" (whole-chain diffusion sampler), "cond_diffusion"
+    # (conditional denoiser, hoisted conditioning), "mnist" (Kuramoto
+    # classifier, fused rollout+head kernel).
     source: str = "ecg"
     # Batch buckets to export (one executable each; requests pad up /
     # chunk down at serve time). Must divide the data-axis device count.
@@ -285,6 +288,9 @@ class ServePreset:
     # deterministic output), diff_T reverse steps.
     n_samples: int = 10
     diff_t: int = 200
+    # cond_diffusion source: which of the 5 denoiser variants to serve
+    # (kan_node is the measured-best conditioner at convergence).
+    denoiser: str = "kan_node"
     # mnist source: Kuramoto rollout path ("scan", "pallas", or
     # "pallas_fused" — the one-kernel rollout+KANLinear-head classifier).
     rollout: str = "pallas_fused"
