@@ -623,8 +623,13 @@ def bench_diffusion_sampling():
     params = diffusion_forecaster_init(key, spec)
     B = 64
     x_ctx = jax.random.normal(key, (B, spec.context_len, spec.num_features))
+    x_ctx_big = jax.random.normal(key, (1024, spec.context_len,
+                                        spec.num_features))
 
-    def timed(sampler, n_samples=1, want_cost=False):
+    def timed(sampler, n_samples=1, want_cost=False, ctx=None):
+        xc = x_ctx if ctx is None else ctx
+        B = xc.shape[0]
+
         @jax.jit
         def sample(p, x_ctx, k):
             return diffusion_forecaster_sample(p, spec, sched, x_ctx, k,
@@ -634,14 +639,14 @@ def bench_diffusion_sampling():
         # Warm thoroughly: past the first compiled call, dispatch/tunnel
         # costs keep dropping for a few invocations — time steady state.
         for i in range(5):
-            _sync(sample(params, x_ctx,
+            _sync(sample(params, xc,
                          jax.random.fold_in(key, 100 + i)).ravel()[0])
-        n_rep = 10
+        n_rep = max(2, 640 // (n_samples * B)) * 2 if B > 64 else 10
 
         def window():
             t0 = time.perf_counter()
             for i in range(n_rep):
-                out = sample(params, x_ctx, jax.random.fold_in(key, i))
+                out = sample(params, xc, jax.random.fold_in(key, i))
             _sync(out.ravel()[0])
             return n_rep * n_samples * B / (time.perf_counter() - t0)
 
@@ -649,7 +654,7 @@ def bench_diffusion_sampling():
         cost = None
         if want_cost:
             from fetode_tpu.diag.roofline import xla_cost
-            c = xla_cost(sample, params, x_ctx, key)
+            c = xla_cost(sample, params, xc, key)
             cost = {"flops": c["flops"] / (n_samples * B),
                     "bytes": c["bytes"] / (n_samples * B)}
         return stats, cost
@@ -657,8 +662,12 @@ def bench_diffusion_sampling():
     pal, _ = timed("pallas")
     scan, scan_cost = timed("scan", want_cost=True)
     fold10, _ = timed("pallas", n_samples=10)
+    # The production eval at scale: 10 samples x B=1024 folded into one
+    # wide-lane-block kernel (374k samples/s on v5e, +40% over bb=128 —
+    # benchmarks/run_ddpm_block_sweep.py)
+    fold10_big, _ = timed("pallas", n_samples=10, ctx=x_ctx_big)
     return {"pallas": pal, "scan": scan, "folded10": fold10,
-            "scan_cost": scan_cost}
+            "folded10_b1024": fold10_big, "scan_cost": scan_cost}
 
 
 def bench_kuramoto():
@@ -998,9 +1007,13 @@ def main() -> None:
         extra["diffusion_samples_per_sec"] = diff["pallas"]["median"]
         extra["diffusion_scan_samples_per_sec"] = diff["scan"]["median"]
         extra["diffusion_folded10_samples_per_sec"] = diff["folded10"]["median"]
+        extra["diffusion_folded10_b1024_samples_per_sec"] = \
+            diff["folded10_b1024"]["median"]
         dispersion["diffusion_samples_per_sec"] = diff["pallas"]
         dispersion["diffusion_scan_samples_per_sec"] = diff["scan"]
         dispersion["diffusion_folded10_samples_per_sec"] = diff["folded10"]
+        dispersion["diffusion_folded10_b1024_samples_per_sec"] = \
+            diff["folded10_b1024"]
         if diff["scan_cost"] is not None:
             from fetode_tpu.diag.roofline import roofline_row
             roofline["ddpm_sample_scan (per sample)"] = roofline_row(
