@@ -255,7 +255,8 @@ def _run_ecg_noise_study(cfg, data, out_dir):
     run = ECGRun(epochs=cfg.epochs, batch_size=cfg.batch_size, lr=cfg.lr,
                  weight_decay=cfg.weight_decay, seed=cfg.seed,
                  epochs_per_call=max(1, cfg.epochs_per_call),
-                 eval_noise_draws=4, aot_cache=cfg.aot_cache)
+                 eval_noise_draws=4, aot_cache=cfg.aot_cache,
+                 mesh_devices=cfg.mesh_devices)
     if run.aot_cache:
         from fetode_tpu.serve import config_hash
         run = _dc.replace(run, aot_tag=config_hash(

@@ -251,9 +251,13 @@ def train_ecg_population(
     Per-member key derivation, shuffle seeding, and epoch-block keying
     are identical to :func:`train_ecg_model` with the same
     ``run.epochs_per_call`` (>1 — the block path), so member curves are
-    bit-comparable to sequential runs.  Not supported here: mesh
-    sharding, durable checkpointing, AOT caching, and the pallas
-    whole-solve kernels (population implies the XLA scan paths).
+    bit-comparable to sequential runs.  ``run.mesh_devices > 0`` shards
+    the POPULATION axis over a 'data' mesh: members are independent, so
+    each device trains P/n members with zero collectives — an n-device
+    pod runs an n x-larger study at single-member wall clock (P must
+    divide over the devices).  Not supported here: mesh_model
+    tensor-sharding, durable checkpointing, and the pallas whole-solve
+    kernels (population implies the XLA scan paths).
 
     Returns ``(best_params, histories)``: ``best_params`` is a stacked
     pytree with leading axis P holding each member's best-test-accuracy
@@ -264,9 +268,13 @@ def train_ecg_population(
     P=12 on the reference spec; ``run.aot_cache`` + ``run.aot_tag``
     round-trip the compiled executable so repeat studies skip it).
     """
-    if run.mesh_devices or run.ckpt_dir:
-        raise ValueError("train_ecg_population does not support mesh/"
+    if run.ckpt_dir:
+        raise ValueError("train_ecg_population does not support "
                          "checkpoint options — use train_ecg_model")
+    if run.mesh_model > 1:
+        raise ValueError("train_ecg_population shards the POPULATION axis "
+                         "over 'data'; mesh_model tensor-sharding is not "
+                         "supported here")
     x_train, y_train, x_test, y_test = data
     P = len(members)
     stds = jnp.asarray([m[0] for m in members], jnp.float32)
@@ -281,6 +289,34 @@ def train_ecg_population(
     tx = make_optimizer(run.lr, kind="adamw", weight_decay=run.weight_decay,
                         grad_clip=run.grad_clip, params=params)
     state = jax.vmap(lambda p: init_state(p, tx))(params)
+
+    # mesh_devices > 0: shard the POPULATION axis over the 'data' mesh —
+    # members are independent, so each device trains P/n members with
+    # ZERO collectives (GSPMD propagates the input sharding through the
+    # vmapped program).  An 8-device pod runs an 8x-larger study at the
+    # single-member wall clock.
+    shard_pop = lambda t: t                                  # noqa: E731
+    if run.mesh_devices:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as PSpec
+
+        from fetode_tpu.parallel import make_mesh
+
+        if P % run.mesh_devices:
+            raise ValueError(f"population size {P} must divide over "
+                             f"mesh_devices={run.mesh_devices}")
+        _mesh = make_mesh(run.mesh_devices)
+        _sh = NamedSharding(_mesh, PSpec("data"))
+        _rep = NamedSharding(_mesh, PSpec())
+
+        def shard_pop(tree):                     # leading-P leaves shard
+            return jax.tree_util.tree_map(
+                lambda a: jax.device_put(
+                    a, _sh if getattr(a, "ndim", 0) >= 1
+                    and a.shape[0] == P else _rep), tree)
+
+        state = shard_pop(state)
+        stds = shard_pop(stds)
 
     def loss_fn(p, k, std, xb, yb):
         return cross_entropy(apply_fn(p, xb, k, std), yb)
@@ -326,7 +362,9 @@ def train_ecg_population(
                                     for row in shuffles])),
               jnp.asarray(np.stack([[b[1] for b in row]
                                     for row in shuffles])))
-        bkeys = jax.vmap(lambda k: jax.random.fold_in(k, ep))(noise_bases)
+        eb = shard_pop(eb)
+        bkeys = shard_pop(
+            jax.vmap(lambda k: jax.random.fold_in(k, ep))(noise_bases))
         state, losses = block_fn(state, bkeys, stds, eb)
         jax.block_until_ready(losses)
         block_seconds.append(time.perf_counter() - tb0)

@@ -148,12 +148,46 @@ def test_population_aot_cache_roundtrip(tmp_path):
 def test_population_rejects_unsupported_options():
     data = _tiny_data()
     spec = _spec(data[0].shape[1])
-    with pytest.raises(ValueError, match="mesh"):
-        train_ecg_population(
-            lambda k: M.kanfet_mlp_node_init(k, spec),
-            lambda p, x, key, std: M.kanfet_mlp_node_apply(
-                p, spec, x, noise_key=key, noise_std=std),
-            data, ECGRun(epochs=1, mesh_devices=2), MEMBERS, log=None)
+    pop_args = (
+        lambda k: M.kanfet_mlp_node_init(k, spec),
+        lambda p, x, key, std: M.kanfet_mlp_node_apply(
+            p, spec, x, noise_key=key, noise_std=std),
+        data)
+    # population axis must divide over the data mesh (P=3 over 2)
+    with pytest.raises(ValueError, match="divide"):
+        train_ecg_population(*pop_args, ECGRun(epochs=1, mesh_devices=2),
+                             MEMBERS, log=None)
+    # tensor-sharding the members makes no sense
+    with pytest.raises(ValueError, match="mesh_model"):
+        train_ecg_population(*pop_args,
+                             ECGRun(epochs=1, mesh_devices=2, mesh_model=2),
+                             MEMBERS, log=None)
+
+
+def test_population_mesh_sharded_matches_unsharded():
+    """mesh_devices shards the POPULATION axis over 'data': each device
+    trains P/n members with zero collectives, and the curves match the
+    unsharded vmapped program (8 virtual CPU devices via conftest)."""
+    data = _tiny_data()
+    spec = _spec(data[0].shape[1])
+    members = [(std, seed) for std in (0.0, 0.3)
+               for seed in range(4)]                       # P = 8
+    run = ECGRun(epochs=2, batch_size=4, epochs_per_call=2,
+                 eval_noise_draws=1, log_every=1000)
+    pop_args = (
+        lambda k: M.kanfet_mlp_node_init(k, spec),
+        lambda p, x, key, std: M.kanfet_mlp_node_apply(
+            p, spec, x, noise_key=key, noise_std=std),
+        data)
+    _, h_u = train_ecg_population(*pop_args, run, members, log=None)
+    _, h_s = train_ecg_population(
+        *pop_args, dataclasses.replace(run, mesh_devices=8), members,
+        log=None)
+    for (std, seed), hu, hs in zip(members, h_u, h_s):
+        for key in ("loss", "test_acc"):
+            np.testing.assert_allclose(
+                np.asarray(hs[key]), np.asarray(hu[key]), rtol=0, atol=5e-6,
+                err_msg=f"member (std={std}, seed={seed}) curve {key!r}")
 
 
 def test_traced_noise_std_rejected_on_pallas_path():
