@@ -531,9 +531,15 @@ def run_mnist(cfg, out_dir, plots):
             x_train, y_train = synthetic_digits(n=512)
             x_test, y_test = synthetic_digits(seed=1, n=128)
 
+    rollout = cfg.rollout
+    if rollout == "auto":
+        # TPU-first default: the whole-rollout kernel measures 1.5-1.6x
+        # the scan on v5e (BASELINE.md Kuramoto rows); off-TPU the kernel
+        # would run in interpret mode, so the scan is the right default.
+        rollout = "pallas" if jax.default_backend() == "tpu" else "scan"
     spec = KuramotoSpec(H=x_train.shape[1], W=x_train.shape[2],
                         steps=cfg.kuramoto_steps, dt=cfg.dt,
-                        num_basis=cfg.num_basis, rollout=cfg.rollout)
+                        num_basis=cfg.num_basis, rollout=rollout)
     params = kuramoto_init(jax.random.PRNGKey(cfg.seed), spec)
     _shard = lambda tree, batch_axis: tree       # noqa: E731
     if cfg.mesh_devices:

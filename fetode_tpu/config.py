@@ -219,9 +219,10 @@ class MNISTPreset:
     epochs: int = 3
     batch_size: int = 128
     lr: float = 1e-3
-    # "scan" (lax.scan + cross conv) or "pallas" (whole-rollout kernel,
-    # ops/pallas_kuramoto.py)
-    rollout: str = "scan"
+    # "auto" (pallas on the TPU backend, scan elsewhere), "scan"
+    # (lax.scan + cross conv), or "pallas" (whole-rollout kernel,
+    # ops/pallas_kuramoto.py — measured 1.5-1.6x the scan on v5e)
+    rollout: str = "auto"
     mesh_devices: int = 0
     mesh_model: int = 1
     seed: int = 0
