@@ -264,9 +264,11 @@ def diffusion_forecaster_sample(params, spec: DiffusionForecasterSpec,
                                 sampler_kwargs=None):
     """Sample future sequences; (B, P) or (n_samples, B, P).
 
-    ``sampler``: "pallas" = whole-chain kernel (ops/pallas_ddpm.py,
-    measured 15.2k vs 9.6k samples/s for the hoisted scan on v5e);
-    "scan" = hoisted lax.scan (nn/diffusion.py: eps_head_sample_loop).
+    ``sampler``: "pallas" = whole-chain kernel (ops/pallas_ddpm.py; the
+    folded 10-sample eval measures 374k samples/s at B=1024 on v5e with
+    the wide-lane-block grid — benchmarks/run_ddpm_block_sweep.py);
+    "scan" = hoisted lax.scan (nn/diffusion.py: eps_head_sample_loop;
+    at B=64 single-sample the two are a formal tie).
     ``sampler_kwargs`` pass through to the pallas kernel (e.g.
     ``block_b`` for the gridded lane-block width).
     """

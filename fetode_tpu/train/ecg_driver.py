@@ -366,7 +366,12 @@ def train_ecg_population(
         bkeys = shard_pop(
             jax.vmap(lambda k: jax.random.fold_in(k, ep))(noise_bases))
         state, losses = block_fn(state, bkeys, stds, eb)
-        jax.block_until_ready(losses)
+        # TRUE completion sync: under the axon tunnel block_until_ready
+        # returns early, which silently turned block_seconds into
+        # dispatch-only timings (caught in the round-4 60-epoch study —
+        # the resulting "steady-state" speedup was bogus).  device_get
+        # forces the host transfer, which cannot complete early.
+        jax.device_get(jnp.sum(losses))
         block_seconds.append(time.perf_counter() - tb0)
         tr = eval_acc(state.params, eval_keys, stds, x_train_j, y_train_j)
         te = eval_acc(state.params, eval_keys, stds, x_test_j, y_test_j)
