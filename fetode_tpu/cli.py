@@ -132,7 +132,8 @@ def run_ecg(cfg, out_dir, plots, data=None):
                                    num_basis=cfg.num_basis, solver=cfg.solver,
                                    rtol=cfg.rtol, atol=cfg.atol,
                                    noise_std=cfg.noise_std,
-                                   solver_mode=cfg.solver_mode)
+                                   solver_mode=cfg.solver_mode,
+                                   gate_impl=cfg.gate_impl)
         # The pallas whole-solve kernel is a custom call GSPMD cannot
         # partition; under --mesh it runs per-device via shard_map
         # (pallas_ferro_node_solve_sharded) — pass the mesh explicitly.

@@ -192,16 +192,21 @@ class KanFetMLPNODESpec(NamedTuple):
                                 # hysteresis-state HBM traffic
     pallas_layout: str = "loop"  # "loop" (per-sample fori) or "vec"
                                  # (3-D batch blocks) kernel layout
+    gate_impl: str = "sigmoid"   # "tanh": sigma via tanh identity, ~1 ulp —
+                                 # the measured +12% VPU form on v5e
+                                 # (benchmarks/ferro_ceiling_tpu.json)
 
     @property
     def fc1_cfg(self):
         return FerroConfig(self.latent_dim, self.ode_hidden, self.num_basis,
-                           noise_std=self.noise_std)
+                           noise_std=self.noise_std,
+                           gate_impl=self.gate_impl)
 
     @property
     def fc2_cfg(self):
         return FerroConfig(self.ode_hidden, self.latent_dim, self.num_basis,
-                           noise_std=self.noise_std)
+                           noise_std=self.noise_std,
+                           gate_impl=self.gate_impl)
 
 
 def kanfet_mlp_node_init(key, spec: KanFetMLPNODESpec, dtype=jnp.float32):
@@ -275,6 +280,11 @@ def kanfet_mlp_node_apply(params, spec: KanFetMLPNODESpec, x, *,
     if noise_std is not None and spec.solver_mode == "pallas":
         raise ValueError("traced noise_std override requires an XLA solve "
                          "path (solver_mode != 'pallas')")
+    if spec.gate_impl != "sigmoid" and spec.solver_mode == "pallas":
+        raise ValueError("gate_impl='tanh' requires an XLA solve path — the "
+                         "whole-solve kernel implements the sigmoid form "
+                         "(and is latency-bound, so the VPU gate form does "
+                         "not move it)")
     B = x.shape[0]
     h0 = x @ params["encoder_w"].T + params["encoder_b"]
     if (spec.solver_mode == "pallas" and spec.solver == "dopri5"
