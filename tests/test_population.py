@@ -197,3 +197,13 @@ def test_traced_noise_std_rejected_on_pallas_path():
         M.kanfet_mlp_node_apply(params, spec, jnp.ones((2, 16)),
                                 noise_key=jax.random.PRNGKey(1),
                                 noise_std=jnp.float32(0.1))
+
+
+def test_tanh_gates_rejected_on_pallas_path():
+    """The whole-solve kernel implements the sigmoid gate form; the
+    gate_impl override must fail loudly rather than silently diverge."""
+    spec = _spec(16)._replace(solver="dopri5", solver_mode="pallas",
+                              gate_impl="tanh")
+    params = M.kanfet_mlp_node_init(jax.random.PRNGKey(0), spec)
+    with pytest.raises(ValueError, match="gate_impl"):
+        M.kanfet_mlp_node_apply(params, spec, jnp.ones((2, 16)))
