@@ -224,6 +224,63 @@ def cond_denoiser_apply(params, spec: CondDenoiserSpec, x_t, past, t_idx):
     return cond_denoiser_eps(params, spec, x_t, cond, t_idx)
 
 
+def cond_denoiser_mlp_sample_loop(params, spec: CondDenoiserSpec, sched,
+                                  cond, key, dtype=jnp.float32,
+                                  unroll: int = 4):
+    """Fast full reverse chain specialised to the ``net='mlp'`` denoiser.
+
+    The same algebraic hoisting as ``nn/diffusion.py:
+    eps_head_sample_loop``, applied to the 3-layer conditional denoiser
+    (reference sampling re-evaluates the full concat input every step,
+    ``kan_diffusion_ett.py:432-444``): the first layer acts on
+    ``[y_flat, cond, sin-emb(t)]`` and only the ``y_flat`` slice changes
+    across the chain, so the ``cond`` contribution is computed once and
+    the t-embedding contributions for ALL T steps are one (T, E) x
+    (E, H) matmul up front.  Math and PRNG layout identical to
+    ``p_sample_loop`` over ``cond_denoiser_eps`` (parity-tested); the
+    KAN/KANFET nets cannot hoist (their bases are nonlinear in every
+    input) and keep the generic loop.
+    """
+    if spec.net != "mlp":
+        raise ValueError("cond_denoiser_mlp_sample_loop requires net='mlp'")
+    from fetode_tpu.nn.diffusion import sinusoidal_emb as _semb
+
+    P = spec.pred_len * spec.d_in
+    C, E = spec.cond_dim, spec.time_dim
+    (l1, l2, l3) = params["net"]
+    W1, b1 = l1["w"], l1["b"]
+    W2, b2 = l2["w"], l2["b"]
+    W3, b3 = l3["w"], l3["b"]
+    W1y, W1c, W1t = W1[:, :P], W1[:, P:P + C], W1[:, P + C:]
+    cond_h = cond @ W1c.T + b1                             # (B, H) once
+    t_all = _semb(jnp.arange(sched.T), E).astype(dtype)
+    temb_h = t_all @ W1t.T                                 # (T, H) once
+
+    B = cond.shape[0]
+    k_init, k_loop = jax.random.split(key)
+    y = jax.random.normal(k_init, (B, spec.pred_len, spec.d_in),
+                          dtype).reshape(B, P)
+    keys = jax.random.split(k_loop, sched.T)
+    t_rev = jnp.arange(sched.T - 1, -1, -1)
+
+    def step(y, inp):
+        t, k, th = inp
+        h = jax.nn.silu(y @ W1y.T + cond_h + th[None])
+        h = jax.nn.silu(h @ W2.T + b2)
+        eps_hat = h @ W3.T + b3
+        mu = sched.sqrt_recip_alphas[t] * (
+            y - sched.betas[t] * eps_hat / sched.sqrt_one_minus_alphas_bar[t])
+        var = jnp.maximum(sched.posterior_variance[t], 1e-20)
+        noise = jax.random.normal(k, (B, spec.pred_len, spec.d_in),
+                                  y.dtype).reshape(B, P)
+        scale = jnp.where(t == 0, 0.0, jnp.sqrt(var)).astype(y.dtype)
+        return mu + scale * noise, None
+
+    y, _ = jax.lax.scan(step, y, (t_rev, keys, temb_h[t_rev]),
+                        unroll=unroll)
+    return y.reshape(B, spec.pred_len, spec.d_in)
+
+
 DENOISER_VARIANTS = {
     # name -> (encoder, net); the reference's five models
     "mlp": ("conv", "mlp"),

@@ -176,12 +176,25 @@ def sample_forecasts(params, spec: CondDenoiserSpec, sched, past, key,
                 if spec.solver_mode == "pallas" else spec)
     cond = cond_denoiser_encode(params, enc_spec, past)
 
-    def eps_model(y_t, t_idx, cond_):
-        return cond_denoiser_eps(params, spec, y_t, cond_, t_idx)
+    if spec.net == "mlp":
+        # Hoisted chain: the cond / t-emb first-layer contributions move
+        # out of the 250-step loop (models/cond_diffusion.py:
+        # cond_denoiser_mlp_sample_loop; same math/PRNG, parity-tested)
+        from fetode_tpu.models.cond_diffusion import (
+            cond_denoiser_mlp_sample_loop,
+        )
 
-    def one(k):
-        return p_sample_loop(sched, eps_model, (B, spec.pred_len, spec.d_in),
-                             cond, k, past.dtype)
+        def one(k):
+            return cond_denoiser_mlp_sample_loop(params, spec, sched, cond,
+                                                 k, past.dtype)
+    else:
+        def eps_model(y_t, t_idx, cond_):
+            return cond_denoiser_eps(params, spec, y_t, cond_, t_idx)
+
+        def one(k):
+            return p_sample_loop(sched, eps_model,
+                                 (B, spec.pred_len, spec.d_in),
+                                 cond, k, past.dtype)
 
     return jax.vmap(one)(jax.random.split(key, n_samples))
 
