@@ -237,9 +237,10 @@ def cond_denoiser_mlp_sample_loop(params, spec: CondDenoiserSpec, sched,
     across the chain, so the ``cond`` contribution is computed once and
     the t-embedding contributions for ALL T steps are one (T, E) x
     (E, H) matmul up front.  Math and PRNG layout identical to
-    ``p_sample_loop`` over ``cond_denoiser_eps`` (parity-tested); the
-    KAN/KANFET nets cannot hoist (their bases are nonlinear in every
-    input) and keep the generic loop.
+    ``p_sample_loop`` over ``cond_denoiser_eps`` (parity-tested).  The
+    KAN net hoists too — through additivity, see
+    :func:`cond_denoiser_kan_sample_loop`; only the KANFET net keeps the
+    generic loop (its ferro branch carries cross-step hysteresis state).
     """
     if spec.net != "mlp":
         raise ValueError("cond_denoiser_mlp_sample_loop requires net='mlp'")
@@ -268,6 +269,86 @@ def cond_denoiser_mlp_sample_loop(params, spec: CondDenoiserSpec, sched,
         h = jax.nn.silu(y @ W1y.T + cond_h + th[None])
         h = jax.nn.silu(h @ W2.T + b2)
         eps_hat = h @ W3.T + b3
+        mu = sched.sqrt_recip_alphas[t] * (
+            y - sched.betas[t] * eps_hat / sched.sqrt_one_minus_alphas_bar[t])
+        var = jnp.maximum(sched.posterior_variance[t], 1e-20)
+        noise = jax.random.normal(k, (B, spec.pred_len, spec.d_in),
+                                  y.dtype).reshape(B, P)
+        scale = jnp.where(t == 0, 0.0, jnp.sqrt(var)).astype(y.dtype)
+        return mu + scale * noise, None
+
+    y, _ = jax.lax.scan(step, y, (t_rev, keys, temb_h[t_rev]),
+                        unroll=unroll)
+    return y.reshape(B, spec.pred_len, spec.d_in)
+
+
+def _kan_partial(p, c, x, sl):
+    """One KANLinear layer restricted to the input dims in slice ``sl``.
+
+    KANLinear is ADDITIVE over input dims — y = Σ_i f_i(x_i) for both the
+    silu-base and B-spline terms — so the full layer equals the sum of
+    partial applications over a partition of its inputs.  XLA's LICM
+    cannot exploit this (the basis is one fused op over the whole
+    concat), which is exactly what the KAN chain hoist below uses.
+    Plain layers only (no logistic/ferro branch).
+    """
+    from fetode_tpu.nn.kan import _scaled_spline_weight
+    from fetode_tpu.ops.bsplines import bspline_basis
+
+    base = jnp.dot(jax.nn.silu(x), p["base_weight"][:, sl].T,
+                   preferred_element_type=x.dtype)
+    bases = bspline_basis(x, p["_buffers"]["grid"][sl], c.spline_order)
+    sw = _scaled_spline_weight(p, c)[:, sl, :]
+    return base + jnp.dot(bases.reshape(x.shape[0], -1),
+                          sw.reshape(c.out_features, -1).T,
+                          preferred_element_type=x.dtype)
+
+
+def cond_denoiser_kan_sample_loop(params, spec: CondDenoiserSpec, sched,
+                                  cond, key, dtype=jnp.float32,
+                                  unroll: int = 4):
+    """Fast full reverse chain specialised to the ``net='kan'`` denoiser.
+
+    The first KAN layer acts on ``[y_flat, cond, sin-emb(t)]`` and only
+    the ``y_flat`` dims change across the chain.  Because KANLinear is
+    additive over input dims (see :func:`_kan_partial`), the cond dims'
+    contribution is computed ONCE and the t-embedding dims' contributions
+    for ALL T steps are one (T, E)-batched partial up front — the
+    per-step first layer shrinks from basis+matmul over P+C+E dims to P
+    dims alone.  Exact decomposition (fp reassociation only); math and
+    PRNG layout otherwise identical to ``p_sample_loop`` over
+    ``cond_denoiser_eps``.  The KANFET net keeps the generic loop (its
+    ferro branch carries cross-step hysteresis state).
+    """
+    if spec.net != "kan":
+        raise ValueError("cond_denoiser_kan_sample_loop requires net='kan'")
+    from fetode_tpu.nn.diffusion import sinusoidal_emb as _semb
+    from fetode_tpu.nn.kan import kan_linear_apply
+
+    cfg = spec.net_cfg
+    layers = params["net"]
+    l1p, l1c = layers[0], cfg.layers[0]
+    P = spec.pred_len * spec.d_in
+    C, E = spec.cond_dim, spec.time_dim
+
+    cond_h = _kan_partial(l1p, l1c, cond.astype(dtype),
+                          slice(P, P + C))                  # (B, H) once
+    t_all = _semb(jnp.arange(sched.T), E).astype(dtype)
+    temb_h = _kan_partial(l1p, l1c, t_all, slice(P + C, P + C + E))  # (T, H)
+
+    B = cond.shape[0]
+    k_init, k_loop = jax.random.split(key)
+    y = jax.random.normal(k_init, (B, spec.pred_len, spec.d_in),
+                          dtype).reshape(B, P)
+    keys = jax.random.split(k_loop, sched.T)
+    t_rev = jnp.arange(sched.T - 1, -1, -1)
+
+    def step(y, inp):
+        t, k, th = inp
+        h = _kan_partial(l1p, l1c, y, slice(0, P)) + cond_h + th[None]
+        for p, c in zip(layers[1:], cfg.layers[1:]):
+            h, _ = kan_linear_apply(p, c, h)
+        eps_hat = h
         mu = sched.sqrt_recip_alphas[t] * (
             y - sched.betas[t] * eps_hat / sched.sqrt_one_minus_alphas_bar[t])
         var = jnp.maximum(sched.posterior_variance[t], 1e-20)

@@ -187,6 +187,17 @@ def sample_forecasts(params, spec: CondDenoiserSpec, sched, past, key,
         def one(k):
             return cond_denoiser_mlp_sample_loop(params, spec, sched, cond,
                                                  k, past.dtype)
+    elif spec.net == "kan":
+        # KANLinear is additive over input dims, so the same hoist works
+        # through the nonlinear basis: cond/t-emb first-layer partials
+        # move out of the chain (cond_denoiser_kan_sample_loop)
+        from fetode_tpu.models.cond_diffusion import (
+            cond_denoiser_kan_sample_loop,
+        )
+
+        def one(k):
+            return cond_denoiser_kan_sample_loop(params, spec, sched, cond,
+                                                 k, past.dtype)
     else:
         def eps_model(y_t, t_idx, cond_):
             return cond_denoiser_eps(params, spec, y_t, cond_, t_idx)

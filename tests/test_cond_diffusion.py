@@ -143,3 +143,34 @@ def test_mlp_hoisted_chain_rejects_other_nets():
         cond_denoiser_mlp_sample_loop(None, spec, make_schedule(4),
                                       jnp.zeros((2, 8)),
                                       jax.random.PRNGKey(0))
+
+
+def test_kan_hoisted_chain_matches_generic():
+    """cond_denoiser_kan_sample_loop == p_sample_loop over
+    cond_denoiser_eps: KANLinear's additivity over input dims makes the
+    cond/t-emb hoist exact through the nonlinear basis."""
+    from fetode_tpu.models.cond_diffusion import (
+        cond_denoiser_encode,
+        cond_denoiser_eps,
+        cond_denoiser_kan_sample_loop,
+    )
+    from fetode_tpu.nn.diffusion import p_sample_loop
+
+    spec = make_denoiser_spec("kan", d_in=2, pred_len=4, seq_len=12,
+                              cond_dim=8, time_dim=8, hidden=16)
+    sched = make_schedule(10)
+    key = jax.random.PRNGKey(6)
+    params = cond_denoiser_init(key, spec)
+    past = jax.random.normal(jax.random.PRNGKey(7), (5, 12, 2),
+                             jnp.float32)
+    cond = cond_denoiser_encode(params, spec, past)
+    k = jax.random.PRNGKey(8)
+
+    ref = p_sample_loop(
+        sched,
+        lambda y, t, c: cond_denoiser_eps(params, spec, y, c, t),
+        (5, 4, 2), cond, k, dtype=jnp.float32)
+    fast = cond_denoiser_kan_sample_loop(params, spec, sched, cond, k,
+                                         dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
