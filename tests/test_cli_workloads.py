@@ -111,6 +111,17 @@ def test_cli_serve_cond_diffusion(tmp_path):
     assert os.path.exists(os.path.join(r["bundle"], "meta.json"))
 
 
+def test_cli_serve_cond_diffusion_kan(tmp_path):
+    """The kan-net denoiser serves through the additive-hoisted chain
+    (cond_denoiser_kan_sample_loop routes inside sample_forecasts)."""
+    r = main(["serve", "--out-dir", str(tmp_path), "--source",
+              "cond_diffusion", "--denoiser", "kan", "--buckets", "8",
+              "--iters", "2", "--context-len", "12", "--pred-len", "4",
+              "--num-features", "3", "--n-samples", "2", "--diff-t", "8"])
+    assert r["source"] == "cond_diffusion"
+    assert r["bench"][0]["throughput_sps"] > 0
+
+
 def test_cli_serve_mnist(tmp_path):
     """Kuramoto classifier serves through the fused rollout+head kernel
     (interpret mode on CPU)."""
