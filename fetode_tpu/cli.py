@@ -249,10 +249,14 @@ def _run_ecg_noise_study(cfg, data, out_dir):
     T = data[0].shape[1]
     stds = tuple(float(s) for s in str(cfg.noise_stds).split(",") if s)
     seeds = tuple(int(s) for s in str(cfg.noise_seeds).split(",") if s)
+    # "auto": scan under the training grad, while-mode for the no-grad
+    # eval passes (a no-grad checkpointed scan compiles pathologically —
+    # the dopri5 auto-mode rationale, solvers/dopri5.py).  Never pallas:
+    # the traced per-member noise_std requires the XLA solve paths.
     spec = M.KanFetMLPNODESpec(T=T, latent_dim=cfg.latent_dim,
                                num_basis=cfg.num_basis, solver=cfg.solver,
                                rtol=cfg.rtol, atol=cfg.atol,
-                               solver_mode="scan")
+                               solver_mode="auto")
     run = ECGRun(epochs=cfg.epochs, batch_size=cfg.batch_size, lr=cfg.lr,
                  weight_decay=cfg.weight_decay, seed=cfg.seed,
                  epochs_per_call=max(1, cfg.epochs_per_call),
