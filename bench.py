@@ -1064,15 +1064,21 @@ def main() -> None:
     print(json.dumps(_compact_summary(result), sort_keys=True))
 
 
+# The driver records only a ~2,000-char TAIL of stdout: a longer final
+# line loses its head and the machine-readable round record parses as
+# null (BENCH_r03 and BENCH_r04 both did exactly that).  Budget leaves
+# headroom for a trailing newline and any stray late stdout bytes.
+_SUMMARY_BUDGET = 1800
+
+
 def _compact_summary(result) -> dict:
     """The machine-readable round record: ONE compact stdout line.
 
-    The driver captures only the TAIL of stdout, so the giant detail
-    record (``extra`` with full dispersion windows + roofline rows) would
-    lose its head and parse as null (BENCH_r03.json did exactly that).
-    The full record goes to ``benchmarks/bench_last_full.json``; stdout
-    ends with a self-describing summary: headline + per-row
-    median/[min,max] + the roofline bound classification per costed row.
+    Hard contract: ``json.dumps`` of the returned dict is under
+    ``_SUMMARY_BUDGET`` chars, so the line survives the driver's
+    2,000-char stdout-tail capture intact.  Per-row medians only —
+    dispersion windows [min, max] and the full roofline rows live in
+    ``benchmarks/bench_last_full.json`` (pointer included).
     """
     here = os.path.dirname(os.path.abspath(__file__))
     full_path = os.path.join(here, "benchmarks", "bench_last_full.json")
@@ -1086,25 +1092,34 @@ def _compact_summary(result) -> dict:
 
     extra = result.get("extra", {})
     rows = {
-        key: {"median": st.get("median"), "min": st.get("min"),
-              "max": st.get("max")}
+        key: st.get("median")
         for key, st in extra.get("dispersion", {}).items()
         if isinstance(st, dict)
     }
-    bounds = {}
-    for key, row in extra.get("roofline", {}).items():
+    # Roofline classifications compressed to class -> count ("latency
+    # (serial/dispatch dominated: ...)" -> "latency"); per-row detail is
+    # in the full record.
+    bounds: dict = {}
+    for row in extra.get("roofline", {}).values():
         b = row.get("bound") if isinstance(row, dict) else None
-        # "latency (serial/dispatch dominated: ...)" -> "latency"
-        bounds[key] = b.split(" (")[0] if isinstance(b, str) else b
-    return {
+        cls = b.split(" (")[0] if isinstance(b, str) else str(b)
+        bounds[cls] = bounds.get(cls, 0) + 1
+    summary = {
         "metric": result["metric"],
         "value": result["value"],
         "unit": result["unit"],
         "vs_baseline": result["vs_baseline"],
         "rows": rows,
-        "roofline_bound": bounds,
+        "bound_counts": bounds,
         "full_record": os.path.relpath(full_path, here),
     }
+    # Enforce the budget deterministically: drop the longest-keyed rows
+    # first until the serialized line fits (never the headline fields).
+    while (len(json.dumps(summary, sort_keys=True)) > _SUMMARY_BUDGET
+           and rows):
+        rows.pop(max(rows, key=lambda k: len(k)))
+        summary["rows_truncated"] = True
+    return summary
 
 
 if __name__ == "__main__":
