@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fetode_tpu.ops.pallas_node_common import interpret_default
 from fetode_tpu.solvers.tableaux import DOPRI5, DOPRI5_DENSE_D
 
 _ORDER = 5
@@ -984,7 +985,7 @@ def pallas_kanfet_solve_train_sharded(params, cfg, x0s, ts, mesh, *,
     Differentiable exactly like ``pallas_kanfet_solve_train``.
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = interpret_default()
     from jax.sharding import PartitionSpec as P
 
     n_shard = mesh.shape[axis]
@@ -1013,7 +1014,7 @@ def pallas_kanfet_solve_train(params, cfg, x0s, ts, *, rtol=1e-7,
     ``stage_loop=None`` auto-selects looped RK stages for wide stacks.
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = interpret_default()
     fn = make_train_solver(cfg, rtol=rtol, atol=atol, max_steps=max_steps,
                            block_b=block_b, interpret=interpret,
                            stage_loop=stage_loop)

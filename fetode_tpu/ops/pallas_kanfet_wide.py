@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fetode_tpu.ops.pallas_node_common import interpret_default
 from fetode_tpu.ops.pallas_adjoint import _tableau_table
 from fetode_tpu.solvers.tableaux import DOPRI5
 
@@ -699,7 +700,7 @@ def pallas_kanfet_wide_solve_train(params, cfg, x0s, ts, *, rtol=1e-7,
     ``make_wide_train_solver``).  ``interpret=None`` auto-selects
     interpret mode on the CPU backend."""
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = interpret_default()
     fn = make_wide_train_solver(cfg, rtol=rtol, atol=atol,
                                 max_steps=max_steps, interpret=interpret)
     return fn(tuple(params) if isinstance(params, list) else params,

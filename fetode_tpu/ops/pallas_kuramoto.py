@@ -42,6 +42,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fetode_tpu.ops.pallas_node_common import interpret_default
+
 
 def _row_masks(H, W):
     """(HW, 1) f32 masks: valid left / right neighbour per lattice site.
@@ -539,7 +541,7 @@ def pallas_kuramoto_logits(params, spec, x_img, *, interpret=None):
     import math
 
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = interpret_default()
     if x_img.ndim == 4:
         x_img = x_img[:, 0]
     B = x_img.shape[0]
@@ -579,7 +581,7 @@ def pallas_kuramoto_features(params, spec, x_img, *, interpret=None):
         # Compiled Mosaic kernels with pltpu.VMEM scratch only lower on
         # TPU; every other backend (cpu tests, hypothetical gpu) takes
         # the interpreter, which is bit-faithful if slow.
-        interpret = jax.default_backend() != "tpu"
+        interpret = interpret_default()
     if x_img.ndim == 4:
         x_img = x_img[:, 0]
     B = x_img.shape[0]

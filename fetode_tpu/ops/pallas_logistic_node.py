@@ -32,6 +32,7 @@ from fetode_tpu.ops.pallas_node_common import (
     adaptive_solve_final,
     adjoint_replay,
     tableau_table,
+    interpret_default,
 )
 
 
@@ -175,7 +176,7 @@ def pallas_logistic_node_solve_sharded(params, h0, spec, mesh, *,
     """Data-parallel whole-solve over a device mesh (see
     pallas_ferro_node.pallas_ferro_node_solve_sharded)."""
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = interpret_default()
     from jax.sharding import PartitionSpec as P
 
     if h0.shape[0] % mesh.shape[axis]:
@@ -198,7 +199,7 @@ def pallas_logistic_node_solve(params, h0, spec, *, interpret=None):
     in-kernel adjoint.  ``params`` is the model param dict (uses
     ``field_mixer``/``proj_w``/``proj_b``)."""
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = interpret_default()
     fn = make_logistic_node_solver(spec.latent_dim, spec.num_basis,
                                    rtol=spec.rtol, atol=spec.atol,
                                    max_steps=spec.max_steps,

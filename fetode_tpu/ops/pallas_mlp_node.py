@@ -56,6 +56,7 @@ from fetode_tpu.ops.pallas_node_common import (
     adaptive_solve_final,
     adjoint_replay,
     tableau_table,
+    interpret_default,
 )
 
 _ORDER = 3          # spline_order of KanFetNODESpec.kan_cfg (KANConfig.make default)
@@ -378,7 +379,7 @@ def pallas_mlp_node_solve_sharded(params, h0, spec, mesh, *,
     """Data-parallel whole-solve over a device mesh (see
     pallas_logistic_node.pallas_logistic_node_solve_sharded)."""
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = interpret_default()
     from jax.sharding import PartitionSpec as P
 
     if h0.shape[0] % mesh.shape[axis]:
@@ -398,7 +399,7 @@ def pallas_mlp_node_solve(params, h0, spec, *, interpret=None):
     """Solve the ``KanFetNODESpec`` (field='mlp') latent ODE with the
     in-kernel adjoint.  ``params`` is the model param dict."""
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = interpret_default()
     fn = make_mlp_node_solver(spec.latent_dim, spec.num_basis,
                               spec.ode_hidden, rtol=spec.rtol,
                               atol=spec.atol, max_steps=spec.max_steps,

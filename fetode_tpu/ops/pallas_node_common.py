@@ -34,6 +34,20 @@ from fetode_tpu.solvers.tableaux import DOPRI5
 # lands everywhere; the physical bound still applies past it.
 VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
+
+def interpret_default() -> bool:
+    """One backend guard for every Pallas kernel module.
+
+    The Mosaic-compiled kernels in this package target TPU; on any other
+    backend (cpu tests, a hypothetical gpu session) the kernels run in
+    Pallas interpret mode, which is slow but exact.  Round-3 history: the
+    guard was written as ``== "cpu"`` in some modules, so a gpu backend
+    fell through to TPU lowering and died with an opaque Mosaic error —
+    hence the single shared helper (``!= "tpu"``) and a unit test over
+    the non-cpu/non-tpu case (tests/test_pallas_guard.py).
+    """
+    return jax.default_backend() != "tpu"
+
 _ORDER = 5
 _BETA = 0.04
 _ALPHA = 1.0 / _ORDER - 0.75 * _BETA

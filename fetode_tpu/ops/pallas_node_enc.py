@@ -38,6 +38,7 @@ from fetode_tpu.ops.pallas_node_common import (
     adaptive_solve_traj,
     adjoint_replay_traj,
     tableau_table,
+    interpret_default,
 )
 
 _LN_EPS = 1e-5  # nn/mlp.py: layer_norm
@@ -272,7 +273,7 @@ def pallas_node_enc_solve(params, cfg, z0, x_seq, *, interpret=None):
     Mosaic on TPU, interpret mode on the CPU backend.
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = interpret_default()
     fn = make_node_enc_solver(cfg.cond_dim, cfg.x_proj_dim, cfg.ode_hidden,
                               x_seq.shape[1], rtol=cfg.rtol, atol=cfg.atol,
                               max_steps=cfg.max_steps, interpret=interpret)

@@ -38,6 +38,7 @@ from fetode_tpu.ops.pallas_node_common import (
     adaptive_solve_traj,
     adjoint_replay_traj,
     tableau_table,
+    interpret_default,
 )
 
 
@@ -245,7 +246,7 @@ def pallas_ode_dyn_solve(layers, cfg, z0, ts, *, rtol=1e-3, atol=1e-4,
     Mosaic on TPU, interpret mode on the CPU backend.
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = interpret_default()
     fn = make_ode_dyn_solver(tuple(cfg.mlp.sizes), rtol=rtol, atol=atol,
                              max_steps=max_steps, interpret=interpret)
     return fn(layers, z0, ts)
