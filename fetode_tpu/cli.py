@@ -118,6 +118,15 @@ def run_ecg(cfg, out_dir, plots, data=None):
         return _run_ecg_noise_study(cfg, data, out_dir)
     T = data[0].shape[1]
 
+    # --gate-impl is a KanFetMLPNODESpec field only (the ferro-op VPU
+    # form, BASELINE.md round-4); every other ECG model would silently
+    # ignore it — refuse rather than mislead.
+    if cfg.gate_impl != "sigmoid" and cfg.model != "kanfet_mlp_node":
+        raise SystemExit(
+            f"--gate-impl {cfg.gate_impl!r} is only supported by "
+            f"--model kanfet_mlp_node (model {cfg.model!r} has no "
+            f"gate_impl field)")
+
     loops_fn = None   # ferro models: trained-params P-E loop extractor
     if cfg.model == "kanfet_node":
         spec = M.KanFetNODESpec(T=T, latent_dim=cfg.latent_dim,
@@ -249,14 +258,30 @@ def _run_ecg_noise_study(cfg, data, out_dir):
     T = data[0].shape[1]
     stds = tuple(float(s) for s in str(cfg.noise_stds).split(",") if s)
     seeds = tuple(int(s) for s in str(cfg.noise_seeds).split(",") if s)
-    # "auto": scan under the training grad, while-mode for the no-grad
-    # eval passes (a no-grad checkpointed scan compiles pathologically —
-    # the dopri5 auto-mode rationale, solvers/dopri5.py).  Never pallas:
-    # the traced per-member noise_std requires the XLA solve paths.
+    # Solve-path choice for the vmapped grid:
+    #   "auto" — scan under the training grad, while-mode for the
+    #     no-grad eval passes (a no-grad checkpointed scan compiles
+    #     pathologically — the dopri5 auto-mode rationale,
+    #     solvers/dopri5.py);
+    #   "pallas" — the whole-solve in-kernel adjoint for EVERY member:
+    #     the traced per-member noise_std rides in via pre-scaled noise
+    #     operands (ops/pallas_ferro_node.py: frozen_solve_noise), so
+    #     std-0 members share the same program.
+    # "scan"/"while" are honored verbatim; anything the path cannot use
+    # is reported rather than silently dropped.
+    solver_mode = cfg.solver_mode if cfg.solver_mode != "scan" else "auto"
+    if cfg.solver_mode == "scan":
+        print("[noise_study] --solver-mode scan runs as 'auto' here "
+              "(no-grad eval passes through a checkpointed scan compile "
+              "pathologically)", flush=True)
+    if cfg.mesh_model > 1:
+        raise SystemExit("[noise_study] --mesh model>1 is not supported: "
+                         "the study shards the POPULATION axis over "
+                         "'data' (train/ecg_driver.py)")
     spec = M.KanFetMLPNODESpec(T=T, latent_dim=cfg.latent_dim,
                                num_basis=cfg.num_basis, solver=cfg.solver,
                                rtol=cfg.rtol, atol=cfg.atol,
-                               solver_mode="auto")
+                               solver_mode=solver_mode)
     run = ECGRun(epochs=cfg.epochs, batch_size=cfg.batch_size, lr=cfg.lr,
                  weight_decay=cfg.weight_decay, seed=cfg.seed,
                  epochs_per_call=max(1, cfg.epochs_per_call),

@@ -83,9 +83,11 @@ class ECGPreset:
     rtol: float = 1e-2
     atol: float = 1e-3
     noise_std: float = 0.0
-    # Ferro gate form on the ferro models: "sigmoid" (reference math) or
-    # "tanh" (same function via the tanh identity, ~1 ulp — the measured
-    # +12% VPU form on v5e; XLA solve paths only).
+    # Ferro gate form on the kanfet_mlp_node model ONLY (the other ECG
+    # models have no gate_impl field; the CLI refuses the combination):
+    # "sigmoid" (reference math) or "tanh" (same function via the tanh
+    # identity, ~1 ulp — the measured +12% VPU form on v5e; XLA solve
+    # paths only).
     gate_impl: str = "sigmoid"
     # "auto" (scan under differentiation, while for no-grad eval),
     # "scan", or "pallas" (whole-solve in-kernel adjoint) on the NODE

@@ -274,12 +274,18 @@ def kanfet_mlp_node_apply(params, spec: KanFetMLPNODESpec, x, *,
     sharding comes entirely from the input placement.
 
     ``noise_std`` (traced) overrides ``spec.noise_std`` for population
-    training (one ``vmap``-ed member per device-noise level); XLA solve
-    paths only — the whole-solve kernel keeps the static spec value.
+    training (one ``vmap``-ed member per device-noise level).  On the
+    kernel path the traced scale rides inside the pre-scaled frozen
+    noise operands (ops/pallas_ferro_node.py: ``frozen_solve_noise``),
+    so the whole population grid — std-0 members included — runs the
+    in-kernel adjoint in one vmapped program; ``noise_key`` is then
+    required.
     """
-    if noise_std is not None and spec.solver_mode == "pallas":
-        raise ValueError("traced noise_std override requires an XLA solve "
-                         "path (solver_mode != 'pallas')")
+    if noise_std is not None and spec.solver_mode == "pallas" \
+            and noise_key is None:
+        raise ValueError("traced noise_std on the pallas path requires a "
+                         "noise_key (std-0 members ride zero-valued noise "
+                         "operands)")
     if spec.gate_impl != "sigmoid" and spec.solver_mode == "pallas":
         raise ValueError("gate_impl='tanh' requires an XLA solve path — the "
                          "whole-solve kernel implements the sigmoid form "
@@ -294,6 +300,10 @@ def kanfet_mlp_node_apply(params, spec: KanFetMLPNODESpec, x, *,
                 pallas_ferro_node_solve_sharded,
             )
 
+            if noise_std is not None:
+                raise ValueError("traced noise_std + mesh sharding is not "
+                                 "wired; population runs shard the member "
+                                 "axis instead (train/ecg_driver.py)")
             hT = pallas_ferro_node_solve_sharded(
                 params["fc1"], params["fc2"], h0, spec, mesh,
                 noise_key=noise_key)
@@ -303,7 +313,8 @@ def kanfet_mlp_node_apply(params, spec: KanFetMLPNODESpec, x, *,
             )
 
             hT = pallas_ferro_node_solve(params["fc1"], params["fc2"], h0,
-                                         spec, noise_key=noise_key)
+                                         spec, noise_key=noise_key,
+                                         noise_std=noise_std)
         return hT @ params["cls_w"].T + params["cls_b"]
     sdt = jnp.dtype(spec.state_dtype) if spec.state_dtype else x.dtype
     states = (ferro_state_init((B,), spec.fc1_cfg, sdt),

@@ -61,6 +61,7 @@ from fetode_tpu.ops.pallas_node_common import (
     adaptive_solve_final,
     adjoint_replay,
     tableau_table,
+    interpret_default,
 )
 
 _N_PRM = 5   # fk, fec, fps, fbias, fcoef — each (out, in*K)
@@ -547,7 +548,7 @@ def pallas_ferro_node_solve_sharded(fc1, fc2, h0, spec, mesh, *,
     blocks are drawn for the GLOBAL batch (same keys and values as the
     single-device path) and sharded alongside ``h0``."""
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = interpret_default()
     from jax.sharding import PartitionSpec as P
 
     if h0.shape[0] % mesh.shape[axis]:
@@ -572,7 +573,8 @@ def pallas_ferro_node_solve_sharded(fc1, fc2, h0, spec, mesh, *,
     return solve(fc1, fc2, h0, *nz)
 
 
-def frozen_solve_noise(noise_key, B, cfg1, cfg2, dtype=jnp.float32):
+def frozen_solve_noise(noise_key, B, cfg1, cfg2, dtype=jnp.float32,
+                       noise_std=None):
     """Draw the frozen per-solve device noise for both ferro layers in
     kernel layout, bit-identical to the XLA dopri5 path: the model splits
     ``noise_key`` into per-layer keys (models/ecg.py:
@@ -582,29 +584,43 @@ def frozen_solve_noise(noise_key, B, cfg1, cfg2, dtype=jnp.float32):
     ``dtype`` must be the XLA path's basis dtype (a single dtype or one
     per layer): ``jax.random.normal`` consumes different bit budgets per
     dtype, so an f32 draw is NOT the rounded f64 draw (bit-different
-    values under x64 test configs)."""
+    values under x64 test configs).
+
+    ``noise_std``: optional TRACED override of each layer's static
+    ``cfg.noise_std`` — the scale rides into the kernel inside the
+    pre-scaled noise operand, so a population (``vmap``-ed member) run
+    can carry a different device-noise level per member on the kernel
+    path without recompiling (``ops/ferro.py: ferro_apply`` is the XLA
+    analogue; multiplication matches it bit-for-bit)."""
     ks = jax.random.split(noise_key)
     dtypes = dtype if isinstance(dtype, (tuple, list)) else (dtype, dtype)
     out = []
     for k, cfg, dt in zip(ks, (cfg1, cfg2), dtypes):
         n = jax.random.normal(
             k, (B, cfg.in_dim, cfg.out_dim, cfg.num_basis), dt)
-        out.append((cfg.noise_std * jnp.transpose(n, (0, 2, 1, 3)).reshape(
+        std = cfg.noise_std if noise_std is None else noise_std
+        out.append((std * jnp.transpose(n, (0, 2, 1, 3)).reshape(
             B, cfg.out_dim, cfg.in_dim * cfg.num_basis)).astype(jnp.float32))
     return tuple(out)
 
 
 def pallas_ferro_node_solve(fc1, fc2, h0, spec, *, noise_key=None,
-                            interpret=None):
+                            noise_std=None, interpret=None):
     """Solve the ``KanFetMLPNODESpec`` latent ODE with the in-kernel
     adjoint.  ``spec`` must be a dopri5 config; device noise
     (``noise_std > 0``) requires ``noise_key`` and follows the XLA path's
     frozen-per-solve semantics (same keys, same draws).
     ``interpret=None`` auto-selects interpret mode on the CPU backend.
+
+    ``noise_std``: optional TRACED override of ``spec.noise_std`` — the
+    kernel is compiled in its noisy form and the traced scale enters via
+    the pre-scaled noise operands (``frozen_solve_noise``), so a vmapped
+    population can put EVERY (noise_std, seed) member on the kernel path
+    in one program (a std-0 member rides zero-valued blocks).
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    noisy = spec.noise_std > 0.0
+        interpret = interpret_default()
+    noisy = spec.noise_std > 0.0 or noise_std is not None
     if noisy and noise_key is None:
         raise ValueError("noise_std > 0 requires a noise_key")
     c1, c2 = spec.fc1_cfg, spec.fc2_cfg
@@ -617,11 +633,12 @@ def pallas_ferro_node_solve(fc1, fc2, h0, spec, *, noise_key=None,
         batch_vec=getattr(spec, "pallas_layout", "loop") == "vec")
     if not noisy:
         return fn(fc1, fc2, h0)
-    nz1, nz2 = _spec_solve_noise(fc1, fc2, h0, c1, c2, noise_key)
+    nz1, nz2 = _spec_solve_noise(fc1, fc2, h0, c1, c2, noise_key,
+                                 noise_std=noise_std)
     return fn(fc1, fc2, h0, nz1, nz2)
 
 
-def _spec_solve_noise(fc1, fc2, h0, c1, c2, noise_key):
+def _spec_solve_noise(fc1, fc2, h0, c1, c2, noise_key, noise_std=None):
     """Frozen per-solve draws in the XLA path's per-layer basis dtypes:
     layer 1's basis promotes (h0, fc1 params); layer 2's input carries
     that dtype and promotes with fc2's params (models/ecg.py:
@@ -629,4 +646,4 @@ def _spec_solve_noise(fc1, fc2, h0, c1, c2, noise_key):
     dt1 = jnp.result_type(h0, *jax.tree_util.tree_leaves(fc1))
     dt2 = jnp.result_type(dt1, *jax.tree_util.tree_leaves(fc2))
     return frozen_solve_noise(noise_key, h0.shape[0], c1, c2,
-                              dtype=(dt1, dt2))
+                              dtype=(dt1, dt2), noise_std=noise_std)

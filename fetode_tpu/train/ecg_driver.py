@@ -256,8 +256,11 @@ def train_ecg_population(
     each device trains P/n members with zero collectives — an n-device
     pod runs an n x-larger study at single-member wall clock (P must
     divide over the devices).  Not supported here: mesh_model
-    tensor-sharding, durable checkpointing, and the pallas whole-solve
-    kernels (population implies the XLA scan paths).
+    tensor-sharding and durable checkpointing.  The pallas whole-solve
+    kernel IS population-capable (round 5): build ``apply_fn`` on a
+    ``solver_mode="pallas"`` spec and the traced per-member noise_std
+    rides into the vmapped kernel via pre-scaled noise operands
+    (ops/pallas_ferro_node.py: ``frozen_solve_noise``).
 
     Returns ``(best_params, histories)``: ``best_params`` is a stacked
     pytree with leading axis P holding each member's best-test-accuracy
@@ -309,6 +312,14 @@ def train_ecg_population(
         _sh = NamedSharding(_mesh, PSpec("data"))
         _rep = NamedSharding(_mesh, PSpec())
 
+        # INVARIANT (do not break): every population-stacked leaf —
+        # params/opt-state from the vmapped init above, per-member keys,
+        # stds, epoch batches — has the member axis LEADING, and no
+        # non-population leaf in these trees has a leading dim equal to
+        # P (optimizer hyperparams are scalars; batch shapes are
+        # (P, E, nb, B, ...)).  A future leaf whose first axis
+        # coincidentally equals P without being the member axis would be
+        # mis-sharded here; shard by tree position if that ever appears.
         def shard_pop(tree):                     # leading-P leaves shard
             return jax.tree_util.tree_map(
                 lambda a: jax.device_put(

@@ -190,13 +190,74 @@ def test_population_mesh_sharded_matches_unsharded():
                 err_msg=f"member (std={std}, seed={seed}) curve {key!r}")
 
 
-def test_traced_noise_std_rejected_on_pallas_path():
+def test_traced_noise_std_on_pallas_needs_key():
     spec = _spec(16)._replace(solver="dopri5", solver_mode="pallas")
     params = M.kanfet_mlp_node_init(jax.random.PRNGKey(0), spec)
-    with pytest.raises(ValueError, match="pallas"):
+    with pytest.raises(ValueError, match="noise_key"):
         M.kanfet_mlp_node_apply(params, spec, jnp.ones((2, 16)),
-                                noise_key=jax.random.PRNGKey(1),
                                 noise_std=jnp.float32(0.1))
+
+
+def test_traced_noise_std_pallas_matches_xla_and_static():
+    """Round-5: the traced per-member noise scale rides into the
+    whole-solve kernel via pre-scaled noise operands
+    (ops/pallas_ferro_node.py: frozen_solve_noise), so the population
+    study can run its entire grid on the kernel path.  Pin the kernel's
+    traced-std output to (a) the XLA dopri5 path with the same key/std
+    and (b) the kernel with the std baked statically into the spec."""
+    base = _spec(16)._replace(solver="dopri5", solver_mode="pallas",
+                              max_steps=32)
+    params = M.kanfet_mlp_node_init(jax.random.PRNGKey(0), base)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16))
+    nk = jax.random.PRNGKey(2)
+    std = 0.3
+
+    traced = M.kanfet_mlp_node_apply(params, base, x, noise_key=nk,
+                                     noise_std=jnp.float32(std))
+    static = M.kanfet_mlp_node_apply(params, base._replace(noise_std=std),
+                                     x, noise_key=nk)
+    xla = M.kanfet_mlp_node_apply(params, base._replace(solver_mode="scan"),
+                                  x, noise_key=nk, noise_std=jnp.float32(std))
+    np.testing.assert_allclose(np.asarray(traced), np.asarray(static),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(traced), np.asarray(xla),
+                               rtol=2e-4, atol=2e-5)
+    # std=0 through the noisy kernel == the clean kernel (zero operands)
+    clean_traced = M.kanfet_mlp_node_apply(params, base, x, noise_key=nk,
+                                           noise_std=jnp.float32(0.0))
+    clean = M.kanfet_mlp_node_apply(params, base, x)
+    np.testing.assert_allclose(np.asarray(clean_traced), np.asarray(clean),
+                               rtol=0, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_population_pallas_path_matches_scan_path():
+    """The vmapped population grid on the kernel path: member curves
+    tolerance-match the XLA ('auto') population path (the VERDICT r4
+    item-5 contract)."""
+    data = _tiny_data()
+    T = data[0].shape[1]
+    run = ECGRun(epochs=2, batch_size=4, epochs_per_call=1,
+                 eval_noise_draws=2, log_every=1000)
+
+    def run_mode(mode):
+        spec = _spec(T)._replace(solver="dopri5", solver_mode=mode,
+                                 max_steps=32)
+        init_fn = lambda k: M.kanfet_mlp_node_init(k, spec)   # noqa: E731
+        apply_fn = (lambda p, x, key, std:                    # noqa: E731
+                    M.kanfet_mlp_node_apply(p, spec, x, noise_key=key,
+                                            noise_std=std))
+        _, hists = train_ecg_population(init_fn, apply_fn, data, run,
+                                        MEMBERS, log=None)
+        return hists
+
+    h_auto = run_mode("auto")
+    h_pal = run_mode("pallas")
+    for (std, seed), ha, hp in zip(MEMBERS, h_auto, h_pal):
+        np.testing.assert_allclose(
+            np.asarray(hp["loss"]), np.asarray(ha["loss"]),
+            rtol=5e-3, atol=5e-4,
+            err_msg=f"member (std={std}, seed={seed}) loss curve")
 
 
 def test_tanh_gates_rejected_on_pallas_path():
