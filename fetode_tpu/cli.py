@@ -816,5 +816,13 @@ def main(argv=None):
     return result
 
 
+def console_main(argv=None):
+    """Console-script entry (`fetode` on PATH): setuptools wraps the
+    target in ``sys.exit(...)``, so returning :func:`main`'s result dict
+    would turn every successful run into exit code 1."""
+    main(argv)
+    return 0
+
+
 if __name__ == "__main__":
     main()

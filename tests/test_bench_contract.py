@@ -2,11 +2,10 @@
 
 import importlib
 import os
-import sys
 
 
 def _load_bench():
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    # repo root is on sys.path via pytest.ini pythonpath — no cwd tricks
     import bench
     return importlib.reload(bench)
 

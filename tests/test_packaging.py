@@ -1,0 +1,49 @@
+"""The framework is installable (VERDICT r4 item 2): pyproject.toml with
+a console entry, importable + runnable from a non-repo cwd."""
+
+import os
+import pathlib
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def test_pyproject_declares_package_and_entry():
+    text = (REPO / "pyproject.toml").read_text()
+    assert 'name = "fetode-tpu"' in text
+    assert 'fetode = "fetode_tpu.cli:console_main"' in text
+
+
+def test_import_from_foreign_cwd(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import fetode_tpu, fetode_tpu.cli; print('ok')"],
+        cwd=tmp_path, capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "JAX_PLATFORM_NAME": "cpu"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().endswith("ok")
+
+
+@pytest.mark.slow
+def test_console_script_runs_from_foreign_cwd(tmp_path):
+    """`fetode predprey --epochs 2` works from an arbitrary directory
+    once the package is pip-installed (the editable install this repo's
+    CI environment carries)."""
+    exe = shutil.which("fetode")
+    if exe is None:
+        pytest.skip("fetode console script not installed "
+                    "(pip install -e . first)")
+    out = subprocess.run(
+        [exe, "predprey", "--platform", "cpu", "--epochs", "2",
+         "--epochs-per-call", "2", "--max-steps", "64",
+         "--out-dir", str(tmp_path / "run")],
+        cwd=tmp_path, capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "JAX_PLATFORM_NAME": "cpu"})
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
+    assert (tmp_path / "run" / "result.json").exists()
