@@ -284,8 +284,11 @@ def train_diffusion_forecaster(spec: DiffusionForecasterSpec, X, y,
         log(f"best-val test sample-MSE: {test_mse:.5f}")
 
     last_x = jnp.asarray(windows["test"][0][-1:])
-    y_hat_std = np.asarray(diffusion_forecaster_sample(
+    y_hat = np.asarray(diffusion_forecaster_sample(
         best[1], eval_spec, sched, last_x, k_f,
-        n_samples=run.eval_samples)).mean(0)[0]
+        n_samples=run.eval_samples))
+    if y_hat.ndim == 2:          # n_samples == 1 returns (B, P), not (S, B, P)
+        y_hat = y_hat[None]
+    y_hat_std = y_hat.mean(0)[0]
     history["final_forecast"] = sy.invert(y_hat_std[:, None])[:, 0]
     return best[1], history
