@@ -34,10 +34,109 @@ from fetode_tpu.train.ecg_driver import (ECGRun, train_ecg_model,
                                          train_ecg_population)
 
 
+def dopri5_kernel_ab(data, members, epochs, epc):
+    """Round-5 A/B (VERDICT r4 item 5): the SAME vmapped population grid
+    on the dopri5 whole-solve kernel path vs the XLA solve path.
+
+    The kernel takes the traced per-member noise_std via pre-scaled
+    frozen noise operands (ops/pallas_ferro_node.py: frozen_solve_noise),
+    so every member — std-0 included — runs the in-kernel discrete
+    adjoint in one program.  Reports steady-state block medians (block 0
+    carries the one-time compile) and the member loss-curve deviation
+    between the two paths (expected: small fp drift only — same math,
+    different step-mesh arithmetic)."""
+    T = data[0].shape[1]
+    run = ECGRun(epochs=epochs, batch_size=8, epochs_per_call=epc,
+                 eval_noise_draws=2, log_every=1000)
+    out = {}
+    hists = {}
+    for mode in ("auto", "pallas"):
+        spec = M.KanFetMLPNODESpec(T=T, solver_mode=mode)
+        init_fn = lambda k, s=spec: M.kanfet_mlp_node_init(k, s)  # noqa: E731
+        apply_fn = (lambda p, x, key, std, s=spec:              # noqa: E731
+                    M.kanfet_mlp_node_apply(p, s, x, noise_key=key,
+                                            noise_std=std))
+        t0 = time.perf_counter()
+        _, hs = train_ecg_population(init_fn, apply_fn, data, run, members,
+                                     log=None)
+        wall = time.perf_counter() - t0
+        blocks = hs[0]["block_seconds"]
+        steady = float(np.median(blocks[1:])) if len(blocks) > 1 \
+            else blocks[0]
+        out[mode] = {
+            "wall_seconds": wall,
+            "block_seconds": blocks,
+            "steady_block_seconds_median": steady,
+            "train_epochs_per_sec_steady": epc / steady,
+            "best_test_acc": {
+                f"std{std}_seed{seed}": h["best_test_acc"]
+                for (std, seed), h in zip(members, hs)},
+        }
+        hists[mode] = hs
+        print(f"[ab] {mode}: steady block {steady:.2f}s "
+              f"({epc / steady:.2f} ep/s), wall {wall:.1f}s", flush=True)
+    max_dev = 0.0
+    for ha, hp in zip(hists["auto"], hists["pallas"]):
+        for key in ("loss", "test_acc"):
+            dev = float(np.abs(np.asarray(ha[key])
+                               - np.asarray(hp[key])).max())
+            max_dev = max(max_dev, dev)
+    out["speedup_steady_blocks"] = (
+        out["auto"]["steady_block_seconds_median"]
+        / out["pallas"]["steady_block_seconds_median"])
+    out["max_member_curve_deviation"] = max_dev
+    acc_dev = max(abs(out["auto"]["best_test_acc"][k]
+                      - out["pallas"]["best_test_acc"][k])
+                  for k in out["auto"]["best_test_acc"])
+    out["max_best_acc_deviation"] = acc_dev
+    print(f"[ab] kernel path {out['speedup_steady_blocks']:.2f}x the XLA "
+          f"path on steady train blocks; max curve dev {max_dev:.4f}, "
+          f"max best-acc dev {acc_dev:.4f}", flush=True)
+    return out
+
+
+def _enable_cache():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def ab_only(epochs=20, epc=5):
+    """Run ONLY the dopri5 kernel A/B and merge it into the existing
+    study JSON (keeps the 60-epoch round-4 study evidence intact).
+    Usage: python benchmarks/run_population_study.py ab [epochs] [epc]"""
+    _enable_cache()
+    try:
+        data = load_ecg200()
+    except FileNotFoundError:
+        data = synthetic_ecg200()
+    stds = (0.0, 0.1, 0.2, 0.5)
+    seeds = (0, 1, 2)
+    members = [(std, seed) for std in stds for seed in seeds]
+    ab = dopri5_kernel_ab(data, members, epochs=epochs, epc=epc)
+    path = os.path.join(os.path.dirname(__file__),
+                        "ecg200_population_study.json")
+    rec = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            rec = json.load(fh)
+    rec["dopri5_kernel_ab"] = ab
+    with open(path, "w") as fh:
+        json.dump(rec, fh, indent=2)
+    print(json.dumps(ab))
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "ab":
+        ab_only(epochs=int(sys.argv[2]) if len(sys.argv) > 2 else 20,
+                epc=int(sys.argv[3]) if len(sys.argv) > 3 else 5)
+        return
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     epc = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     aot_cache = sys.argv[3] if len(sys.argv) > 3 else ""
+    _enable_cache()
     try:
         data = load_ecg200()
         source = "ECG200 (UCR)"
@@ -127,6 +226,12 @@ def main():
             for (std, seed), h in zip(members, pop_hists)
         },
     }
+    # Round-5: the dopri5 kernel-path A/B on the same grid (shorter
+    # budget — the point is the per-block train ratio + curve agreement,
+    # not accuracy convergence).
+    out["dopri5_kernel_ab"] = dopri5_kernel_ab(
+        data, members, epochs=min(epochs, 20), epc=epc)
+
     path = os.path.join(os.path.dirname(__file__),
                         "ecg200_population_study.json")
     with open(path, "w") as fh:

@@ -80,7 +80,8 @@ def main():
     x0 = jnp.asarray([task.x0, task.y0], jnp.float32)
 
     def time_mode(spec, loss_fn):
-        """Median epochs/s over >=3 windows; (stats, loss_after)."""
+        """Median epochs/s over >=3 windows; (stats, extras) where
+        extras carries the scanner/state for roofline accounting."""
         params = predprey_init(jax.random.PRNGKey(0), spec)
         tx = make_optimizer(2e-3, kind="adam", params=params)
         state = init_state(params, tx)
@@ -104,11 +105,42 @@ def main():
                     / (time.perf_counter() - t0))
 
         vals = sorted(window() for _ in range(max(3, args.windows)))
-        return {"epochs_per_s": round(vals[len(vals) // 2], 2),
-                "min": round(vals[0], 2), "max": round(vals[-1], 2),
-                "compile_s": round(compile_s, 1),
-                "loss_after": box["loss"],
-                "finite": bool(jnp.isfinite(box["loss"]))}
+        return ({"epochs_per_s": round(vals[len(vals) // 2], 2),
+                 "min": round(vals[0], 2), "max": round(vals[-1], 2),
+                 "compile_s": round(compile_s, 1),
+                 "loss_after": box["loss"],
+                 "finite": bool(jnp.isfinite(box["loss"]))},
+                {"scanner": scanner, "state": box["s"]})
+
+    def kernel_work_per_epoch(spec, state):
+        """Analytic FLOPs/bytes per training epoch for the whole-solve
+        adjoint kernels (Mosaic interiors are opaque to XLA's cost
+        model) — the same accounting bench.py uses for the flagship
+        pallas row: realized dopri5 attempts at the trained params
+        (while-mode solver stats) x 6 fresh RHS evals/step (FSAL) x 3
+        (forward + in-kernel adjoint replay, which re-evaluates the
+        field and its VJP on the frozen mesh), with per-RHS FLOPs from
+        XLA's cost model of one field eval; HBM bytes = params + grads
+        + trajectory I/O (solver state is VMEM-resident)."""
+        from fetode_tpu.diag.roofline import xla_cost
+        from fetode_tpu.models.predprey import predict as pp_predict
+        from fetode_tpu.nn.kan import kan_apply, kan_state_init
+
+        pspec = spec._replace(solver_mode="while")
+        _, st = pp_predict(state.params, pspec, x0, ts_learn,
+                           full_output=True)
+        steps = float(st.n_accepted + st.n_rejected)
+        fstate = kan_state_init((), spec.kan, jnp.float32)
+        rhs = jax.jit(lambda p, z: kan_apply(p, spec.kan, z, fstate)[0])
+        rc = xla_cost(rhs, state.params, x0)
+        pbytes = float(sum(
+            int(jnp.size(l)) * l.dtype.itemsize
+            for l in jax.tree_util.tree_leaves(state.params)))
+        flops = steps * 6 * rc["flops"] * 3
+        bytes_ = 2 * pbytes + 4 * task.n_train * 2 * 3
+        return flops, bytes_, int(steps)
+
+    from fetode_tpu.diag.roofline import roofline_row, xla_cost
 
     results = {}
     for stack in STACKS:
@@ -129,7 +161,7 @@ def main():
             ("wide", lambda spec=spec: _wide_loss(spec)),
         ):
             try:
-                row[name] = time_mode(spec, make_loss())
+                row[name], extras = time_mode(spec, make_loss())
                 print(f"  {name}: {row[name]['epochs_per_s']} ep/s "
                       f"[{row[name]['min']}, {row[name]['max']}]",
                       flush=True)
@@ -137,6 +169,37 @@ def main():
                 row[name] = {"compile_error":
                              f"{type(e).__name__}: {str(e)[:300]}"}
                 print(f"  {name}: FAILED {type(e).__name__}", flush=True)
+                continue
+            # Roofline accounting (VERDICT r4 item 4): exact XLA cost for
+            # the scan program; documented analytic estimate for the
+            # Mosaic whole-solve kernels.
+            try:
+                if name == "scan":
+                    c = xla_cost(extras["scanner"], extras["state"], x0,
+                                 ts_learn, target)
+                    rl = roofline_row(c["flops"] / args.epochs_per_call,
+                                      c["bytes"] / args.epochs_per_call,
+                                      row[name]["epochs_per_s"])
+                else:
+                    fl, by, steps = kernel_work_per_epoch(
+                        spec, extras["state"])
+                    rl = roofline_row(
+                        fl, by, row[name]["epochs_per_s"],
+                        flop_source=(f"analytic: {steps} realized dopri5 "
+                                     "attempts x 6 RHS x 3 (fwd + adjoint "
+                                     "replay); RHS FLOPs from XLA cost "
+                                     "model; bytes = params + grads + "
+                                     "trajectory I/O"))
+                row[name]["roofline"] = rl
+                print(f"    roofline[{name}]: "
+                      f"{rl.get('pct_peak_flops')}% FLOP peak, "
+                      f"{rl.get('pct_peak_hbm')}% HBM peak -> "
+                      f"{rl['bound']}", flush=True)
+            except Exception as e:                          # noqa: BLE001
+                row[name]["roofline"] = {
+                    "error": f"{type(e).__name__}: {str(e)[:300]}"}
+                print(f"    roofline[{name}] failed: {type(e).__name__}",
+                      flush=True)
         results[key] = row
 
     # Crossover: smallest ferro_n at which the wide layout matches or
