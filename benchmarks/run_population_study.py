@@ -46,8 +46,12 @@ def dopri5_kernel_ab(data, members, epochs, epc):
     between the two paths (expected: small fp drift only — same math,
     different step-mesh arithmetic)."""
     T = data[0].shape[1]
+    # eval_chunk: the noisy kernel's frozen (B, out, in*K) noise operands
+    # put full-split eval (B=100, P=12 vmapped members) 18 MB over the
+    # 128 MB VMEM cap — both legs eval in training-batch chunks so the
+    # member curves stay like-for-like comparable.
     run = ECGRun(epochs=epochs, batch_size=8, epochs_per_call=epc,
-                 eval_noise_draws=2, log_every=1000)
+                 eval_noise_draws=2, log_every=1000, eval_chunk=16)
     out = {}
     hists = {}
     for mode in ("auto", "pallas"):

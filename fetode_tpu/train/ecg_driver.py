@@ -48,6 +48,11 @@ class ECGRun:
     seed: int = 0
     log_every: int = 10
     eval_noise_draws: int = 1   # logits averaged over this many noise keys
+    # >0: evaluate accuracy in chunks of this many rows (lax.map) —
+    # bounds the pallas whole-solve kernels' O(B) VMEM on big eval
+    # splits (see _chunked_logits); 0 = whole split in one call (the
+    # historical protocol of every recorded study).
+    eval_chunk: int = 0
     # Epochs per device dispatch (make_minibatch_epochs_scanner).  >1
     # amortises host round trips (fast models are dispatch-bound — the
     # logistic KanFetNODE measures 3-4x); eval/best-tracking then happen
@@ -80,6 +85,35 @@ class ECGRun:
 
 def cross_entropy(logits, labels):
     return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def _chunked_logits(apply_i, x, n_draws, chunk):
+    """Noise-draw-averaged logits over ``x``, optionally evaluated in
+    ``chunk``-row pieces (``lax.map`` over chunks inside jit).
+
+    ``chunk=0`` (default) evaluates the whole eval split in one call —
+    the historical protocol every recorded study used.  ``chunk>0``
+    bounds the per-launch working set: the pallas whole-solve kernels
+    carry O(B) VMEM (attempt records, and for noisy ferro solves the
+    frozen (B, out, in*K) noise operands — measured 146 MB > the 128 MB
+    cap at B=100 x P=12 vmapped members), so population-over-members
+    eval on the kernel path needs bounded chunks.  Noise-draw note: a
+    chunked eval draws per (chunk, key) rather than per (split, key), so
+    noisy-eval accuracies are a different (equally valid) Monte-Carlo
+    estimate than the unchunked protocol — compare like with like.
+    """
+    def logits_of(xc):
+        return jnp.mean(jnp.stack([apply_i(xc, i)
+                                   for i in range(n_draws)]), 0)
+
+    n = x.shape[0]
+    if not chunk or n <= chunk:
+        return logits_of(x)
+    pad = (-n) % chunk
+    xp = jnp.concatenate(
+        [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])]) if pad else x
+    lg = jax.lax.map(logits_of, xp.reshape(-1, chunk, *x.shape[1:]))
+    return lg.reshape(-1, lg.shape[-1])[:n]
 
 
 def accuracy(logits, labels):
@@ -153,9 +187,10 @@ def train_ecg_model(
         # Draws are averaged SEQUENTIALLY (unrolled), not vmapped: vmapping
         # the whole-solve pallas path over keys stacks the frozen
         # (B, out, in*K) noise operands draws-fold in VMEM (measured OOM at
-        # 4 draws x B=100 on the ECG ferro kernel).
-        logits = jnp.mean(
-            jnp.stack([apply_fn(p, x, k) for k in eval_keys]), 0)
+        # 4 draws x B=100 on the ECG ferro kernel).  run.eval_chunk
+        # additionally bounds the per-launch batch (see _chunked_logits).
+        logits = _chunked_logits(lambda xc, i: apply_fn(p, xc, eval_keys[i]),
+                                 x, len(eval_keys), run.eval_chunk)
         return accuracy(logits, y)
 
     # Eval splits shard over 'data' when their length divides the axis,
@@ -348,8 +383,9 @@ def train_ecg_population(
     @jax.jit
     def eval_acc(ps, eks, std_v, x, y):
         def one(p, ek, std):
-            logits = jnp.mean(
-                jnp.stack([apply_fn(p, x, ek[i], std) for i in range(D)]), 0)
+            logits = _chunked_logits(
+                lambda xc, i: apply_fn(p, xc, ek[i], std), x, D,
+                run.eval_chunk)
             return accuracy(logits, y)
         return jax.vmap(one, in_axes=(0, 0, 0))(ps, eks, std_v)
 

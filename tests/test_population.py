@@ -268,3 +268,23 @@ def test_tanh_gates_rejected_on_pallas_path():
     params = M.kanfet_mlp_node_init(jax.random.PRNGKey(0), spec)
     with pytest.raises(ValueError, match="gate_impl"):
         M.kanfet_mlp_node_apply(params, spec, jnp.ones((2, 16)))
+
+
+def test_eval_chunk_matches_unchunked_noiseless():
+    """eval_chunk bounds the kernel-path eval VMEM; for a noiseless
+    model chunking must be numerically a no-op."""
+    data = _tiny_data()
+    T = data[0].shape[1]
+    spec = _spec(T)
+    init_fn = lambda k: M.kanfet_mlp_node_init(k, spec)       # noqa: E731
+    apply_fn = (lambda p, x, key:                             # noqa: E731
+                M.kanfet_mlp_node_apply(p, spec, x))
+    kw = dict(epochs=2, batch_size=4, epochs_per_call=1, log_every=1000)
+    _, h_full = train_ecg_model(init_fn, apply_fn, data,
+                                ECGRun(**kw), log=None)
+    _, h_chunk = train_ecg_model(init_fn, apply_fn, data,
+                                 ECGRun(**kw, eval_chunk=3), log=None)
+    for key in ("loss", "train_acc", "test_acc"):
+        np.testing.assert_allclose(np.asarray(h_chunk[key]),
+                                   np.asarray(h_full[key]),
+                                   rtol=0, atol=1e-6, err_msg=key)
