@@ -112,20 +112,20 @@ def run_ecg(cfg, out_dir, plots, data=None):
 
     if data is None:
         data = _load_ecg_data()
-    if cfg.model == "all":
-        return _run_ecg_all(cfg, data, out_dir, plots)
-    if cfg.model == "noise_study":
-        return _run_ecg_noise_study(cfg, data, out_dir)
-    T = data[0].shape[1]
-
     # --gate-impl is a KanFetMLPNODESpec field only (the ferro-op VPU
-    # form, BASELINE.md round-4); every other ECG model would silently
-    # ignore it — refuse rather than mislead.
+    # form, BASELINE.md round-4); every other ECG model — the
+    # noise_study and 'all' composites included — would silently ignore
+    # it, so refuse BEFORE their early returns rather than mislead.
     if cfg.gate_impl != "sigmoid" and cfg.model != "kanfet_mlp_node":
         raise SystemExit(
             f"--gate-impl {cfg.gate_impl!r} is only supported by "
             f"--model kanfet_mlp_node (model {cfg.model!r} has no "
             f"gate_impl field)")
+    if cfg.model == "all":
+        return _run_ecg_all(cfg, data, out_dir, plots)
+    if cfg.model == "noise_study":
+        return _run_ecg_noise_study(cfg, data, out_dir)
+    T = data[0].shape[1]
 
     loops_fn = None   # ferro models: trained-params P-E loop extractor
     if cfg.model == "kanfet_node":
@@ -246,8 +246,10 @@ def _run_ecg_noise_study(cfg, data, out_dir):
     instead of the reference's sequential one-run-at-a-time loop.
 
     Uses the ferro KanFet-MLP-NODE (the study's model) with noise_std
-    TRACED per member; the pallas whole-solve kernel needs a static
-    noise spec, so the study runs the XLA solve paths.
+    TRACED per member.  ``--solver-mode pallas`` puts the whole grid on
+    the whole-solve in-kernel adjoint (round 5: the traced scale rides
+    in via pre-scaled noise operands — measured 6.69x the XLA path per
+    steady train block, ``ecg200_population_study.json``).
     """
     import dataclasses as _dc
     import json
@@ -267,8 +269,8 @@ def _run_ecg_noise_study(cfg, data, out_dir):
     #     the traced per-member noise_std rides in via pre-scaled noise
     #     operands (ops/pallas_ferro_node.py: frozen_solve_noise), so
     #     std-0 members share the same program.
-    # "scan"/"while" are honored verbatim; anything the path cannot use
-    # is reported rather than silently dropped.
+    # "scan" is remapped to "auto" (reported below); anything else the
+    # path cannot use is refused rather than silently dropped.
     solver_mode = cfg.solver_mode if cfg.solver_mode != "scan" else "auto"
     if cfg.solver_mode == "scan":
         print("[noise_study] --solver-mode scan runs as 'auto' here "
@@ -282,11 +284,16 @@ def _run_ecg_noise_study(cfg, data, out_dir):
                                num_basis=cfg.num_basis, solver=cfg.solver,
                                rtol=cfg.rtol, atol=cfg.atol,
                                solver_mode=solver_mode)
+    # Kernel path: bound the eval batch — full-split eval through the
+    # vmapped noisy kernel stacks frozen (B, out, in*K) noise operands
+    # past the 128 MB VMEM cap (measured +18 MB over at B=100 x P=12);
+    # lax.map'd chunks keep every launch at the training working set.
+    eval_chunk = 2 * cfg.batch_size if solver_mode == "pallas" else 0
     run = ECGRun(epochs=cfg.epochs, batch_size=cfg.batch_size, lr=cfg.lr,
                  weight_decay=cfg.weight_decay, seed=cfg.seed,
                  epochs_per_call=max(1, cfg.epochs_per_call),
                  eval_noise_draws=4, aot_cache=cfg.aot_cache,
-                 mesh_devices=cfg.mesh_devices)
+                 mesh_devices=cfg.mesh_devices, eval_chunk=eval_chunk)
     if run.aot_cache:
         from fetode_tpu.serve import config_hash
         run = _dc.replace(run, aot_tag=config_hash(

@@ -234,6 +234,8 @@ def train_diffusion_forecaster(spec: DiffusionForecasterSpec, X, y,
     def _sample_mse_chunk(p, x, y, k):
         samples = diffusion_forecaster_sample(p, eval_spec, sched, x, k,
                                               n_samples=run.eval_samples)
+        if samples.ndim == y.ndim:   # n_samples == 1 returns (B, P)
+            samples = samples[None]
         return jnp.sum((samples.mean(0) - y) ** 2), y.size
 
     def eval_sample_mse(p, x, y, k):

@@ -19,6 +19,15 @@ def test_pyproject_declares_package_and_entry():
 
 
 def test_import_from_foreign_cwd(tmp_path):
+    # A fresh checkout without `pip install -e .` cannot import the
+    # package from a foreign cwd (pytest.ini's pythonpath applies only
+    # to the pytest process, not subprocesses) — skip, like the
+    # console-script sibling below.
+    try:
+        import importlib.metadata
+        importlib.metadata.version("fetode-tpu")
+    except importlib.metadata.PackageNotFoundError:
+        pytest.skip("fetode-tpu not installed (pip install -e . first)")
     out = subprocess.run(
         [sys.executable, "-c",
          "import fetode_tpu, fetode_tpu.cli; print('ok')"],
