@@ -1012,10 +1012,32 @@ def pallas_kanfet_solve_train(params, cfg, x0s, ts, *, rtol=1e-7,
     ``interpret=None`` auto-selects: Mosaic on TPU, interpret mode on the
     CPU backend (so the same model spec runs in the virtual-mesh tests).
     ``stage_loop=None`` auto-selects looped RK stages for wide stacks.
+
+    Batches beyond ``block_b`` are chunked at the JAX level
+    (``lax.map`` over block-sized chunks of single-block kernel calls)
+    rather than through the kernel's own batch grid: the multi-block
+    Mosaic form fails to compile on-chip (opaque remote-compile 500 at
+    B=1024, round 5), while lax.map of the single-block kernel is
+    semantically identical — step control is per block either way, and
+    interpret-mode grid-vs-chunk parity is exact to fp noise (grads
+    accumulate through the scan transpose;
+    tests/test_pallas_adjoint.py: test_chunked_batch_*).
     """
     if interpret is None:
         interpret = interpret_default()
     fn = make_train_solver(cfg, rtol=rtol, atol=atol, max_steps=max_steps,
                            block_b=block_b, interpret=interpret,
                            stage_loop=stage_loop)
-    return fn(params, x0s, ts)
+    B = x0s.shape[0]
+    if B <= block_b:
+        return fn(params, x0s, ts)
+    n_blocks = -(-B // block_b)
+    B_pad = n_blocks * block_b
+    x0p = x0s
+    if B_pad != B:
+        x0p = jnp.concatenate(
+            [x0s, jnp.broadcast_to(x0s[-1:], (B_pad - B,) + x0s.shape[1:])],
+            0)
+    chunks = x0p.reshape(n_blocks, block_b, *x0s.shape[1:])
+    traj = jax.lax.map(lambda xc: fn(params, xc, ts), chunks)
+    return traj.reshape(B_pad, *traj.shape[2:])[:B]

@@ -256,3 +256,46 @@ def test_x0_gradient(setup):
     fd = (loss_x0(x0 + eps * v) - loss_x0(x0 - eps * v)) / (2 * eps)
     an = float(jnp.sum(g * v))
     assert abs(an - float(fd)) < 3e-2 * max(1.0, abs(float(fd)))
+
+
+def test_chunked_batch_matches_manual_chunks():
+    """B > block_b chunks at the JAX level (lax.map of single-block
+    kernel calls — the Mosaic multi-block grid fails to compile
+    on-chip); forward and param grads must equal the manual per-chunk
+    computation exactly (same per-block step meshes)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fetode_tpu.models.predprey import PredPreyNODE, predprey_init
+    from fetode_tpu.ops.pallas_adjoint import pallas_kanfet_solve_train
+
+    spec = PredPreyNODE.kanfet(max_steps=32)
+    params = predprey_init(jax.random.PRNGKey(0), spec)
+    ts = jnp.linspace(0.0, 1.0, 5)
+    x0s = jax.random.uniform(jax.random.PRNGKey(1), (20, 2), jnp.float32,
+                             0.5, 2.0)   # 3 blocks of 8 (last one padded)
+
+    kw = dict(rtol=1e-4, atol=1e-6, max_steps=32)
+
+    def loss_chunked(p):
+        out = pallas_kanfet_solve_train(p, spec.kan, x0s, ts, block_b=8,
+                                        **kw)
+        return jnp.sum(out ** 2), out
+
+    def loss_manual(p):
+        outs = [pallas_kanfet_solve_train(p, spec.kan, xc, ts, block_b=8,
+                                          **kw)
+                for xc in (x0s[:8], x0s[8:16], x0s[16:])]
+        return sum(jnp.sum(o ** 2) for o in outs), jnp.concatenate(outs)
+
+    (lc, oc) = loss_chunked(params)
+    (lm, om) = loss_manual(params)
+    np.testing.assert_allclose(np.asarray(oc), np.asarray(om),
+                               rtol=0, atol=1e-6)
+    gc = jax.grad(lambda p: loss_chunked(p)[0])(params)
+    gm = jax.grad(lambda p: loss_manual(p)[0])(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gc),
+                    jax.tree_util.tree_leaves(gm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
