@@ -816,6 +816,87 @@ def bench_kuramoto():
             "fwd_fused": fwd_f_stats, "cost": cost}
 
 
+def bench_batch_scale():
+    """Round-5 scaling records: batched-trajectory training through the
+    chunked adjoint-kernel path at B=4096 (lax.map of single-block
+    kernels — the scan path plateaus at ~22k traj-ep/s by B=1024) and
+    whole-solve inference at B=65,536 (XLA vmap plateaus at ~54k).
+    Full curves: benchmarks/{train,infer}_batch_scale_tpu.json."""
+    import jax
+    import jax.numpy as jnp
+
+    from fetode_tpu.models.predprey import predprey_init
+    from fetode_tpu.ops.pallas_adjoint import pallas_kanfet_solve_train
+    from fetode_tpu.ops.pallas_node import pallas_kanfet_solve
+    from fetode_tpu.train.loop import init_state, make_epoch_scanner
+    from fetode_tpu.train.optim import make_optimizer
+    from fetode_tpu.train.traj_driver import TrajParallelRun, make_batched_data
+
+    out = {}
+    # --- training, B=4096 chunked kernel path -------------------------
+    B = 4096
+    run = TrajParallelRun(n_traj=B, epochs=20, epochs_per_call=20,
+                          cosine_decay=False)
+    ts_learn, x0s, targets = make_batched_data(run)
+    spec = run.spec._replace(solver_mode="pallas")
+    params = predprey_init(jax.random.PRNGKey(0), spec)
+    tx = make_optimizer(run.lr, kind="adam", grad_clip=run.grad_clip,
+                        params=params)
+    state = init_state(params, tx)
+
+    def loss_fn(p, x, t):
+        pred = pallas_kanfet_solve_train(
+            p, spec.kan, x, ts_learn, rtol=spec.rtol, atol=spec.atol,
+            max_steps=spec.max_steps)
+        return jnp.mean((pred - t) ** 2)
+
+    scanner = make_epoch_scanner(loss_fn, tx, run.epochs_per_call)
+    state, losses = scanner(state, x0s, targets)     # compile
+    _sync(losses[-1])
+    state, losses = scanner(state, x0s, targets)     # first-load warm
+    _sync(losses[-1])
+    box = {"s": state}
+
+    def train_window():
+        s = box["s"]
+        t0 = time.perf_counter()
+        s, losses = scanner(s, x0s, targets)
+        _sync(losses[-1])
+        box["s"] = s
+        return run.epochs_per_call * B / (time.perf_counter() - t0)
+
+    out["train_b4096"] = _windows(train_window)
+
+    # --- inference, B=65,536 whole-solve kernel -----------------------
+    from fetode_tpu.models.predprey import (PredPreyNODE, PredPreyTask,
+                                            generate_data)
+    task = PredPreyTask()
+    ts, _, _ = generate_data(task)
+    ispec = PredPreyNODE.kanfet(max_steps=512)
+    iparams = predprey_init(jax.random.PRNGKey(0), ispec)
+    Bi = 65536
+    x0b = jax.random.uniform(jax.random.PRNGKey(1), (Bi, 2), jnp.float32,
+                             0.5, 2.0)
+
+    @jax.jit
+    def solve_big(p, x):
+        return pallas_kanfet_solve(p, ispec.kan, x, ts, rtol=ispec.rtol,
+                                   atol=ispec.atol, max_steps=512)
+
+    for _ in range(3):
+        _sync(solve_big(iparams, x0b)[0, 0, 0])
+
+    def infer_window():
+        t0 = time.perf_counter()
+        for _ in range(2):
+            o = solve_big(iparams, x0b)
+        _sync(o[0, 0, 0])
+        return 2 * Bi / (time.perf_counter() - t0)
+
+    out["infer_b65536"] = _windows(infer_window)
+    return out
+
+
 def bench_ferro_op():
     """Op-level ferro hysteresis basis forward at the documented claim
     shape (ops/pallas_ferro.py header: B=256, in=64, out=128, K=12, f32):
@@ -1023,6 +1104,21 @@ def main() -> None:
             roofline["ddpm_sample_scan (per sample)"] = roofline_row(
                 diff["scan_cost"]["flops"], diff["scan_cost"]["bytes"],
                 diff["scan"]["median"])
+
+    # Round-5 scaling records — guarded so a failure cannot cost the
+    # round record (the driver needs the final JSON line regardless).
+    try:
+        bs = _stage("batch-scale records", bench_batch_scale)
+    except Exception as e:                                    # noqa: BLE001
+        print(f"[bench] batch-scale stage failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+        bs = None
+    if bs is not None:
+        extra["traj_train_b4096_traj_epochs_per_sec"] = \
+            bs["train_b4096"]["median"]
+        extra["infer_b65536_traj_per_sec"] = bs["infer_b65536"]["median"]
+        dispersion["traj_train_b4096_traj_epochs_per_sec"] = bs["train_b4096"]
+        dispersion["infer_b65536_traj_per_sec"] = bs["infer_b65536"]
 
     tt = _stage("traj training", bench_traj_training)
     if tt is not None:

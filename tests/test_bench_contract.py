@@ -109,6 +109,8 @@ def test_compact_summary_real_row_names_fit(tmp_path, monkeypatch):
         "diffusion_folded10_b1024_samples_per_sec",
         "traj_training_traj_epochs_per_sec",
         "traj_training_scan_traj_epochs_per_sec",
+        "traj_train_b4096_traj_epochs_per_sec",
+        "infer_b65536_traj_per_sec",
     ]
     result = {
         "metric": "predprey KANFET-NODE training throughput (dopri5 "
