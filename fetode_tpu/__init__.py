@@ -28,6 +28,6 @@ Subpackages
 - ``diag``     diagnostics: hysteresis sweeps, metrics logging, profiling
 """
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 from fetode_tpu import ops, solvers  # noqa: F401

@@ -17,6 +17,9 @@ import sys
 
 def _parse(argv):
     p = argparse.ArgumentParser(prog="fetode_tpu", description=__doc__)
+    from fetode_tpu import __version__
+    p.add_argument("--version", action="version",
+                   version=f"fetode-tpu {__version__}")
     p.add_argument("workload", choices=["predprey", "ecg", "ett",
                                         "cond_diffusion", "timemmd", "mnist",
                                         "symbolic", "serve"])
