@@ -995,13 +995,36 @@ def pallas_kanfet_solve_train_sharded(params, cfg, x0s, ts, mesh, *,
     fn = make_train_solver(cfg, rtol=rtol, atol=atol, max_steps=max_steps,
                            block_b=block_b, interpret=interpret)
     solve = jax.shard_map(
-        lambda p, x, t: fn(p, x, t),
+        # per-shard batches beyond block_b chunk at the JAX level, same
+        # as the unsharded wrapper (the Mosaic multi-block grid fails to
+        # compile on-chip — see pallas_kanfet_solve_train)
+        lambda p, x, t: _chunked_solve(fn, p, x, t, block_b),
         mesh=mesh,
         in_specs=(P(), P(axis), P()),
         out_specs=P(axis),
         check_vma=False,
     )
     return solve(params, x0s, ts)
+
+
+def _chunked_solve(fn, params, x0s, ts, block_b):
+    """Apply a single-block train solver over batches of any size:
+    ``lax.map`` over block-sized chunks (pad-with-last, slice back).
+    Step control is per block either way, so chunking is semantically
+    identical to the kernel's own batch grid (interpret-parity exact)."""
+    B = x0s.shape[0]
+    if B <= block_b:
+        return fn(params, x0s, ts)
+    n_blocks = -(-B // block_b)
+    B_pad = n_blocks * block_b
+    x0p = x0s
+    if B_pad != B:
+        x0p = jnp.concatenate(
+            [x0s, jnp.broadcast_to(x0s[-1:], (B_pad - B,) + x0s.shape[1:])],
+            0)
+    chunks = x0p.reshape(n_blocks, block_b, *x0s.shape[1:])
+    traj = jax.lax.map(lambda xc: fn(params, xc, ts), chunks)
+    return traj.reshape(B_pad, *traj.shape[2:])[:B]
 
 
 def pallas_kanfet_solve_train(params, cfg, x0s, ts, *, rtol=1e-7,
@@ -1028,16 +1051,4 @@ def pallas_kanfet_solve_train(params, cfg, x0s, ts, *, rtol=1e-7,
     fn = make_train_solver(cfg, rtol=rtol, atol=atol, max_steps=max_steps,
                            block_b=block_b, interpret=interpret,
                            stage_loop=stage_loop)
-    B = x0s.shape[0]
-    if B <= block_b:
-        return fn(params, x0s, ts)
-    n_blocks = -(-B // block_b)
-    B_pad = n_blocks * block_b
-    x0p = x0s
-    if B_pad != B:
-        x0p = jnp.concatenate(
-            [x0s, jnp.broadcast_to(x0s[-1:], (B_pad - B,) + x0s.shape[1:])],
-            0)
-    chunks = x0p.reshape(n_blocks, block_b, *x0s.shape[1:])
-    traj = jax.lax.map(lambda xc: fn(params, xc, ts), chunks)
-    return traj.reshape(B_pad, *traj.shape[2:])[:B]
+    return _chunked_solve(fn, params, x0s, ts, block_b)
