@@ -816,24 +816,20 @@ def bench_kuramoto():
             "fwd_fused": fwd_f_stats, "cost": cost}
 
 
-def bench_batch_scale():
-    """Round-5 scaling records: batched-trajectory training through the
+def bench_batch_scale_train():
+    """Round-5 scaling record: batched-trajectory training through the
     chunked adjoint-kernel path at B=4096 (lax.map of single-block
-    kernels — the scan path plateaus at ~22k traj-ep/s by B=1024) and
-    whole-solve inference at B=65,536 (XLA vmap plateaus at ~54k).
-    Full curves: benchmarks/{train,infer}_batch_scale_tpu.json."""
+    kernels — the scan path plateaus at ~22k traj-ep/s by B=1024).
+    Full curve: benchmarks/train_batch_scale_tpu.json."""
     import jax
     import jax.numpy as jnp
 
     from fetode_tpu.models.predprey import predprey_init
     from fetode_tpu.ops.pallas_adjoint import pallas_kanfet_solve_train
-    from fetode_tpu.ops.pallas_node import pallas_kanfet_solve
     from fetode_tpu.train.loop import init_state, make_epoch_scanner
     from fetode_tpu.train.optim import make_optimizer
     from fetode_tpu.train.traj_driver import TrajParallelRun, make_batched_data
 
-    out = {}
-    # --- training, B=4096 chunked kernel path -------------------------
     B = 4096
     run = TrajParallelRun(n_traj=B, epochs=20, epochs_per_call=20,
                           cosine_decay=False)
@@ -865,11 +861,20 @@ def bench_batch_scale():
         box["s"] = s
         return run.epochs_per_call * B / (time.perf_counter() - t0)
 
-    out["train_b4096"] = _windows(train_window)
+    return _windows(train_window)
 
-    # --- inference, B=65,536 whole-solve kernel -----------------------
+
+def bench_batch_scale_infer():
+    """Round-5 scaling record: whole-solve inference at B=65,536 (XLA
+    vmap plateaus at ~54k traj/s).  Full curve:
+    benchmarks/infer_batch_scale_tpu.json."""
+    import jax
+    import jax.numpy as jnp
+
     from fetode_tpu.models.predprey import (PredPreyNODE, PredPreyTask,
-                                            generate_data)
+                                            generate_data, predprey_init)
+    from fetode_tpu.ops.pallas_node import pallas_kanfet_solve
+
     task = PredPreyTask()
     ts, _, _ = generate_data(task)
     ispec = PredPreyNODE.kanfet(max_steps=512)
@@ -893,8 +898,7 @@ def bench_batch_scale():
         _sync(o[0, 0, 0])
         return 2 * Bi / (time.perf_counter() - t0)
 
-    out["infer_b65536"] = _windows(infer_window)
-    return out
+    return _windows(infer_window)
 
 
 def bench_ferro_op():
@@ -1105,21 +1109,6 @@ def main() -> None:
                 diff["scan_cost"]["flops"], diff["scan_cost"]["bytes"],
                 diff["scan"]["median"])
 
-    # Round-5 scaling records — guarded so a failure cannot cost the
-    # round record (the driver needs the final JSON line regardless).
-    try:
-        bs = _stage("batch-scale records", bench_batch_scale)
-    except Exception as e:                                    # noqa: BLE001
-        print(f"[bench] batch-scale stage failed: {type(e).__name__}: {e}",
-              file=sys.stderr, flush=True)
-        bs = None
-    if bs is not None:
-        extra["traj_train_b4096_traj_epochs_per_sec"] = \
-            bs["train_b4096"]["median"]
-        extra["infer_b65536_traj_per_sec"] = bs["infer_b65536"]["median"]
-        dispersion["traj_train_b4096_traj_epochs_per_sec"] = bs["train_b4096"]
-        dispersion["infer_b65536_traj_per_sec"] = bs["infer_b65536"]
-
     tt = _stage("traj training", bench_traj_training)
     if tt is not None:
         extra["traj_training_traj_epochs_per_sec"] = tt["pallas"]["median"]
@@ -1134,6 +1123,26 @@ def main() -> None:
     else:
         extra["traj_training_traj_epochs_per_sec"] = None
         extra["traj_training_scan_traj_epochs_per_sec"] = None
+
+    # Round-5 scaling records, LAST so only these new rows bear the
+    # deadline risk, and independently guarded so one half's failure
+    # cannot discard the other's measurement or the final JSON line
+    # (failed/skipped rows read null, like every other stage).
+    for key_name, stage_name, fn in (
+        ("traj_train_b4096_traj_epochs_per_sec", "batch-scale train b4096",
+         bench_batch_scale_train),
+        ("infer_b65536_traj_per_sec", "batch-scale infer b65536",
+         bench_batch_scale_infer),
+    ):
+        try:
+            stats = _stage(stage_name, fn)
+        except Exception as e:                                # noqa: BLE001
+            print(f"[bench] {stage_name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            stats = None
+        extra[key_name] = None if stats is None else stats["median"]
+        if stats is not None:
+            dispersion[key_name] = stats
 
     # Convergence/parity evidence from the recorded full 10k-epoch run
     # (benchmarks/predprey_10k_run.json, produced on this chip).

@@ -820,14 +820,8 @@ def make_train_solver(cfg, rtol=1e-7, atol=1e-9, max_steps=256,
         stage_loop = any(i * o * k >= 1024 for i, o, k in layer_dims)
 
     def _pad(x0s):
-        B = x0s.shape[0]
-        bb = min(block_b, B)
-        n_blocks = -(-B // bb)
-        B_pad = n_blocks * bb
-        x0p = x0s.astype(f32)
-        if B_pad != B:
-            x0p = jnp.concatenate(
-                [x0p, jnp.broadcast_to(x0p[-1:], (B_pad - B, D))], 0)
+        bb = min(block_b, x0s.shape[0])
+        x0p, n_blocks, B_pad = _pad_batch(x0s.astype(f32), bb)
         return x0p, bb, n_blocks, B_pad
 
     def _fwd_call(params, x0s, ts):
@@ -1007,21 +1001,36 @@ def pallas_kanfet_solve_train_sharded(params, cfg, x0s, ts, mesh, *,
     return solve(params, x0s, ts)
 
 
+def _pad_batch(x, block):
+    """Pad the leading axis up to a multiple of ``block`` by repeating
+    the last row; returns (padded, n_blocks, padded_len).  One shared
+    helper so the padding policy cannot drift between the kernel's own
+    ``_pad`` and the JAX-level chunking (the padded rows are discarded
+    by the final slice and — under differentiation — carry zero
+    cotangent, so any valid row works)."""
+    B = x.shape[0]
+    n_blocks = -(-B // block)
+    B_pad = n_blocks * block
+    if B_pad != B:
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(x[-1:], (B_pad - B,) + x.shape[1:])], 0)
+    return x, n_blocks, B_pad
+
+
 def _chunked_solve(fn, params, x0s, ts, block_b):
     """Apply a single-block train solver over batches of any size:
     ``lax.map`` over block-sized chunks (pad-with-last, slice back).
-    Step control is per block either way, so chunking is semantically
-    identical to the kernel's own batch grid (interpret-parity exact)."""
+
+    Chunking is semantically identical to the kernel's own batch grid
+    because step control is PER-LANE (each trajectory carries its own
+    dt/t in the tda records) — block membership never influences a
+    lane's step mesh, so grid-vs-chunk parity is exact to fp noise
+    (tests/test_pallas_adjoint.py:
+    test_chunked_batch_matches_manual_chunks)."""
     B = x0s.shape[0]
     if B <= block_b:
         return fn(params, x0s, ts)
-    n_blocks = -(-B // block_b)
-    B_pad = n_blocks * block_b
-    x0p = x0s
-    if B_pad != B:
-        x0p = jnp.concatenate(
-            [x0s, jnp.broadcast_to(x0s[-1:], (B_pad - B,) + x0s.shape[1:])],
-            0)
+    x0p, n_blocks, B_pad = _pad_batch(x0s, block_b)
     chunks = x0p.reshape(n_blocks, block_b, *x0s.shape[1:])
     traj = jax.lax.map(lambda xc: fn(params, xc, ts), chunks)
     return traj.reshape(B_pad, *traj.shape[2:])[:B]
@@ -1041,10 +1050,11 @@ def pallas_kanfet_solve_train(params, cfg, x0s, ts, *, rtol=1e-7,
     rather than through the kernel's own batch grid: the multi-block
     Mosaic form fails to compile on-chip (opaque remote-compile 500 at
     B=1024, round 5), while lax.map of the single-block kernel is
-    semantically identical — step control is per block either way, and
+    semantically identical — step control is PER-LANE, so block
+    membership never affects a trajectory's step mesh, and
     interpret-mode grid-vs-chunk parity is exact to fp noise (grads
-    accumulate through the scan transpose;
-    tests/test_pallas_adjoint.py: test_chunked_batch_*).
+    accumulate through the scan transpose; tests/test_pallas_adjoint.py:
+    test_chunked_batch_matches_manual_chunks).
     """
     if interpret is None:
         interpret = interpret_default()

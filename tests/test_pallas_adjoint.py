@@ -258,6 +258,7 @@ def test_x0_gradient(setup):
     assert abs(an - float(fd)) < 3e-2 * max(1.0, abs(float(fd)))
 
 
+@pytest.mark.slow
 def test_chunked_batch_matches_manual_chunks():
     """B > block_b chunks at the JAX level (lax.map of single-block
     kernel calls — the Mosaic multi-block grid fails to compile
